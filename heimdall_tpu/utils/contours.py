@@ -1,0 +1,106 @@
+"""Host-side contour extraction from label/mask images.
+
+The device pipeline returns blob tables and label images (ops/ccl.py,
+ops/blobs.py); the full contour *point lists* the reference exposes in
+Defect metadata (heimdall/detectors/contamination_detector.py:174) and in
+the pipeline context (core/pipeline.py:417) are synthesized host-side on
+demand by Moore-neighbour border following — the classic sequential
+algorithm stays on the host where it belongs, and only runs for the
+(few, small) blobs that survive gating.
+
+Points are returned cv2-style: [[x, y], ...] tracing the outer boundary
+clockwise in image coordinates.
+"""
+
+from typing import List, Tuple
+
+import numpy as np
+
+# Moore neighbourhood in clockwise order starting from west.
+_MOORE = [(-1, 0), (-1, -1), (0, -1), (1, -1),
+          (1, 0), (1, 1), (0, 1), (-1, 1)]  # (dx, dy)
+
+
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Trace the outer boundary of the largest-connectivity region in mask.
+
+    mask: bool [H, W] containing one 8-connected component.
+    Returns [N, 2] int32 (x, y) points, clockwise, starting at the
+    topmost-leftmost pixel (matches cv2.findContours start convention).
+    """
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros((0, 2), np.int32)
+    start = (xs[ys.argmin() if True else 0], ys.min())
+    # topmost row, then leftmost in that row
+    top = ys.min()
+    row_xs = xs[ys == top]
+    start = (int(row_xs.min()), int(top))
+
+    h, w = mask.shape
+
+    def at(x, y):
+        return 0 <= x < w and 0 <= y < h and mask[y, x]
+
+    contour = [start]
+    # Begin searching from the west neighbour (backtrack direction).
+    prev_dir = 0
+    cur = start
+    first_step = None
+    for _ in range(4 * mask.sum() + 8):
+        found = False
+        for k in range(8):
+            d = (prev_dir + k) % 8
+            dx, dy = _MOORE[d]
+            nx, ny = cur[0] + dx, cur[1] + dy
+            if at(nx, ny):
+                if (cur, (nx, ny)) == first_step:
+                    return np.asarray(contour[:-1], np.int32)
+                if first_step is None:
+                    first_step = (cur, (nx, ny))
+                contour.append((nx, ny))
+                cur = (nx, ny)
+                # next search starts from the backtrack direction
+                prev_dir = (d + 5) % 8
+                found = True
+                break
+        if not found:  # isolated pixel
+            return np.asarray(contour[:1], np.int32)
+        if cur == start and len(contour) > 1:
+            # Completed a loop; verify by the repeated-first-step rule above.
+            pass
+    return np.asarray(contour[:-1] if len(contour) > 1 else contour, np.int32)
+
+
+def simplify_chain(points: np.ndarray) -> np.ndarray:
+    """Drop collinear intermediate points (CHAIN_APPROX_SIMPLE-like)."""
+    if len(points) < 3:
+        return points
+    keep = [0]
+    for i in range(1, len(points) - 1):
+        a, b, c = points[keep[-1]], points[i], points[i + 1]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        same_dir = (np.sign(c[0] - b[0]) == np.sign(b[0] - a[0])
+                    and np.sign(c[1] - b[1]) == np.sign(b[1] - a[1]))
+        if not (cross == 0 and same_dir):
+            keep.append(i)
+    keep.append(len(points) - 1)
+    return points[keep]
+
+
+def blob_contour(labels: np.ndarray, label_value: int,
+                 bbox: Tuple[int, int, int, int],
+                 simplify: bool = True) -> np.ndarray:
+    """Contour of the blob with the given label, restricted to its bbox.
+
+    labels: int32 [H, W] from connected_components.
+    bbox: (x, y, w, h) from the blob table.
+    Returns cv2-shaped [N, 1, 2] int32 points in full-image coordinates.
+    """
+    x, y, w, h = bbox
+    crop = labels[y:y + h, x:x + w] == label_value
+    pts = trace_boundary(crop)
+    if simplify and len(pts) > 2:
+        pts = simplify_chain(pts)
+    pts = pts + np.asarray([x, y], np.int32)
+    return pts.reshape(-1, 1, 2)
