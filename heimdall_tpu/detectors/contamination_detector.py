@@ -72,7 +72,11 @@ def contamination_program(images: jnp.ndarray,
     se3 = np.ones((3, 3), np.uint8)
     binary = ops.morphology_ex(binary, "open", se3)
     binary = ops.morphology_ex(binary, "close", se3)
-    mask = binary > 0
+    # Hole filling reproduces findContours(RETR_EXTERNAL)+drawContours(filled)
+    # semantics: ring-shaped responses (large uniform dark spots only fire at
+    # their rim under adaptive thresholding) gate and measure as full discs,
+    # exactly as the reference's contour-based path does.
+    mask = ops.ccl.fill_holes(binary > 0)
     labels = ops.connected_components(mask, connectivity=8)
     table = blobs_mod.blob_stats(labels, mask, gray, color,
                                  max_blobs=max_blobs, use_color=use_color)

@@ -29,6 +29,7 @@ from heimdall_tpu.ops.morphology import (
     structuring_element,
 )
 from heimdall_tpu.ops.histogram import equalize_hist, clahe, histogram256
-from heimdall_tpu.ops.ccl import connected_components
+from heimdall_tpu.ops import ccl
+from heimdall_tpu.ops.ccl import connected_components, fill_holes
 from heimdall_tpu.ops.blobs import blob_stats, BlobTable
 from heimdall_tpu.ops.hough import hough_lines, hough_lines_p

@@ -75,20 +75,48 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     batch_shape = mask.shape[:-2]
     flat_shape = batch_shape + (H * W,)
     sent_col = jnp.full(batch_shape + (1,), sentinel, jnp.int32)
+    mask_flat = mask.reshape(flat_shape)
 
-    def jump(lab):
-        """lab <- lab[lab] on the flattened grid (sentinel maps to itself)."""
-        flat = lab.reshape(flat_shape)
-        padded = jnp.concatenate([flat, sent_col], axis=-1)
-        return jnp.take_along_axis(padded, flat, axis=-1).reshape(lab.shape)
+    def gather(padded_flat, idx):
+        return jnp.take_along_axis(padded_flat, idx, axis=-1)
 
     def body(state):
         lab, _, it = state
-        l1 = _neighbor_min(lab, sentinel, connectivity)
-        l1 = jnp.where(mask, l1, sentinel)
-        l2 = jump(jump(l1))
-        changed = jnp.any(l2 != lab)
-        return l2, changed, it + 1
+        flat = lab.reshape(flat_shape)
+
+        # 1. Path compression: two pointer jumps (lab <- lab[lab]).
+        padded = jnp.concatenate([flat, sent_col], axis=-1)
+        flat = gather(padded, flat)
+        padded = jnp.concatenate([flat, sent_col], axis=-1)
+        flat = gather(padded, flat)
+
+        # 2. Min over the neighbourhood of the compressed labels.
+        lab2 = flat.reshape(lab.shape)
+        nmin = _neighbor_min(lab2, sentinel, connectivity)
+        nmin = jnp.where(mask, jnp.minimum(lab2, nmin), sentinel)
+        nmin_flat = nmin.reshape(flat_shape)
+
+        # 3. Union "hooking": merge at the roots with a scatter-min —
+        #    new[l[p]] = min(new[l[p]], nmin[p]).  This lets a smaller
+        #    label leap directly to another subtree's root, giving
+        #    O(log diameter) convergence even on serpentine components.
+        padded = jnp.concatenate([flat, sent_col], axis=-1)
+        if len(batch_shape) == 0:
+            hooked = padded.at[flat].min(nmin_flat)
+        else:
+            flatten = padded.reshape((-1, H * W + 1))
+            idxs = flat.reshape((-1, H * W))
+            vals = nmin_flat.reshape((-1, H * W))
+            hooked = jax.vmap(lambda a, i, v: a.at[i].min(v))(
+                flatten, idxs, vals)
+            hooked = hooked.reshape(batch_shape + (H * W + 1,))
+
+        # 4. Re-point every pixel at its (possibly improved) root.
+        new_flat = jnp.minimum(gather(hooked, flat), nmin_flat)
+        new_flat = jnp.where(mask_flat, new_flat, sentinel)
+        new_lab = new_flat.reshape(lab.shape)
+        changed = jnp.any(new_lab != lab)
+        return new_lab, changed, it + 1
 
     def cond(state):
         _, changed, it = state
@@ -97,3 +125,45 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     labels, _, _ = jax.lax.while_loop(
         cond, body, (labels, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
     return labels
+
+
+def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
+    """Fill interior holes of foreground components, batched.
+
+    Reproduces the semantics of cv2.findContours(RETR_EXTERNAL) +
+    drawContours(filled): everything enclosed by a component's outer
+    boundary belongs to it (the reference gates on contourArea of the
+    exterior contour and measures intensity over the *filled* contour mask
+    — contamination_detector.py:97,104-105).  Components nested inside
+    another component's hole are absorbed, exactly as RETR_EXTERNAL drops
+    them.
+
+    Implementation: 4-connected CCL of the background (the complementary
+    connectivity of 8-connected foreground), then keep only background
+    components that touch the image border; all other background is hole.
+    """
+    H, W = mask.shape[-2], mask.shape[-1]
+    HW = H * W
+    bg = ~mask
+    bglab = connected_components(bg, connectivity=4)
+
+    border = jnp.zeros((H, W), bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+
+    import numpy as _np
+    batch_shape = mask.shape[:-2]
+    B = int(_np.prod(batch_shape)) if batch_shape else 1
+    border_flat = jnp.broadcast_to(border.reshape(1, HW), (B, HW))
+    flat2 = bglab.reshape((-1, HW))
+    bg_flat = bg.reshape((-1, HW))
+
+    def mark(lab_row, border_row, bg_row):
+        # labels of background components touching the border
+        idx = jnp.where(border_row & bg_row, lab_row, HW)
+        table = jnp.zeros((HW + 1,), bool).at[idx].set(True)
+        return table[lab_row] & bg_row
+
+    exterior = jax.vmap(mark)(flat2, border_flat, bg_flat)
+    exterior = exterior.reshape(mask.shape)
+    return ~exterior
