@@ -37,7 +37,7 @@ from heimdall_tpu.utils import contours as contours_mod
 
 
 @partial(jax.jit, static_argnames=("max_blobs", "use_color", "formula",
-                                   "return_labels"))
+                                   "return_labels", "ccl_sweeps"))
 def contamination_program(images: jnp.ndarray,
                           contrast_threshold: jnp.ndarray,
                           min_size: jnp.ndarray,
@@ -46,7 +46,8 @@ def contamination_program(images: jnp.ndarray,
                           max_blobs: int = 64,
                           use_color: bool = True,
                           formula: str = "python",
-                          return_labels: bool = False):
+                          return_labels: bool = False,
+                          ccl_sweeps: int = 0):
     """The full batched contamination-detection device program.
 
     Args:
@@ -76,8 +77,9 @@ def contamination_program(images: jnp.ndarray,
     # semantics: ring-shaped responses (large uniform dark spots only fire at
     # their rim under adaptive thresholding) gate and measure as full discs,
     # exactly as the reference's contour-based path does.
-    mask = ops.ccl.fill_holes(binary > 0)
-    labels = ops.connected_components(mask, connectivity=8)
+    mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
+    labels = ops.connected_components(mask, connectivity=8,
+                                      sweeps=ccl_sweeps)
     table = blobs_mod.blob_stats(labels, mask, gray, color,
                                  max_blobs=max_blobs, use_color=use_color)
     if formula == "native":
@@ -110,6 +112,10 @@ class ContaminationDetector(DefectDetector):
         self.max_blobs = self.config.get("max_blobs", 64)
         self.formula = self.config.get("confidence_formula", "python")
         self.include_contours = self.config.get("include_contours", True)
+        # Fixed propagation sweeps (0 = loop to fixpoint).  6 resolves
+        # every shape in the parity suite including JPEG-noise blobs (which
+        # need 5); raise or set 0 for pathological mask geometry.
+        self.ccl_sweeps = self.config.get("ccl_sweeps", 6)
         self.logger.info(
             "Detector %s initialized with min_size=%s, max_size=%s, "
             "threshold=%s", self.name, self.min_contaminant_size,
@@ -128,7 +134,8 @@ class ContaminationDetector(DefectDetector):
             max_blobs=self.max_blobs,
             use_color=self.use_color,
             formula=self.formula,
-            return_labels=return_labels)
+            return_labels=return_labels,
+            ccl_sweeps=self.ccl_sweeps)
 
     # -- host API ----------------------------------------------------------
     def detect(self, image: np.ndarray,

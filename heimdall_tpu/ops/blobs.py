@@ -11,7 +11,7 @@ Key equivalences (validated against OpenCV in tests/test_blobs.py):
 * ``cv2.contourArea`` of an exterior contour equals, by Pick's theorem,
   ``N_pixels - N_boundary/2 - 1`` where N_boundary counts blob pixels with a
   4-connected background neighbour (image border counts as background) —
-  exact for simply-connected blobs.
+  exact for simply-connected blobs (self-touching outlines deviate by ~1).
 * ``cv2.boundingRect`` equals the pixel bounding box — exact.
 * The moment centroid (polygon moments) is approximated by the pixel
   centroid; after the reference's int() truncation they agree within 1 px.
@@ -19,8 +19,13 @@ Key equivalences (validated against OpenCV in tests/test_blobs.py):
   bg_sum = bbox_sum - fg_sum, using one 2-D cumulative sum per channel and
   four gathers per blob.
 
-Dynamic contour counts become a fixed-capacity table (max_blobs per frame)
-with a validity mask — the TPU-native answer to ragged outputs.
+TPU mapping: all per-blob reductions are **compare-and-reduce** — a fused
+``select(bid == k, v, identity)`` reduction over pixels for the K table
+slots — which XLA fuses into plain VPU reduction loops.  No scatters, no
+segment ops (TPU scatters serialize; an earlier jax.ops.segment_* version
+was ~100x slower on a v5e).  Dynamic contour counts become a fixed-capacity
+table (max_blobs per frame) with a validity mask — the TPU-native answer to
+ragged outputs.
 """
 
 from typing import NamedTuple, Optional
@@ -100,18 +105,11 @@ def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
     padded = jnp.concatenate(
         [comp_at_root, jnp.zeros((B, 1), jnp.int32)], axis=-1)
     bid = jnp.take_along_axis(padded, labels_flat, axis=-1)
-    # overflow blobs and background go to the invalid bucket K
+    # overflow blobs and background go to the invalid bucket K (masked out
+    # of every reduction below)
     bid = jnp.where(mask_flat, jnp.minimum(bid, K), K)     # [B, HW]
 
-    seg_sum = jax.vmap(
-        lambda d, s: jax.ops.segment_sum(d, s, num_segments=K + 1))
-    seg_min = jax.vmap(
-        lambda d, s: jax.ops.segment_min(d, s, num_segments=K + 1))
-    seg_max = jax.vmap(
-        lambda d, s: jax.ops.segment_max(d, s, num_segments=K + 1))
-
-    ones = jnp.ones((B, HW), jnp.int32)
-    area_px = seg_sum(ones, bid)[:, :K]
+    ks = jnp.arange(K, dtype=jnp.int32)                    # table slots
 
     # --- boundary pixels (4-connected background neighbour or image edge) --
     mpad = jnp.pad(mask, [(0, 0)] * (mask.ndim - 2) + [(1, 1), (1, 1)])
@@ -120,36 +118,57 @@ def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
            + mpad[..., 1:-1, :-2]
            + mpad[..., 1:-1, 2:])
     boundary = mask & (nb4 < 4)
-    n_boundary = seg_sum(boundary.reshape(B, HW).astype(jnp.int32), bid)[:, :K]
 
-    # cv2.contourArea equivalence via Pick's theorem
-    area = (area_px.astype(jnp.float32)
-            - 0.5 * n_boundary.astype(jnp.float32) - 1.0)
-
-    # --- centroid & bbox ---------------------------------------------------
+    # --- all per-blob sums in ONE one-hot matmul (MXU) ---------------------
+    # stats axis S: [ones, boundary, x, y, gray, (b, g, r)]
     xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
     ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, W))
-    xs_flat = jnp.broadcast_to(xs.reshape(1, HW), (B, HW))
-    ys_flat = jnp.broadcast_to(ys.reshape(1, HW), (B, HW))
-    sum_x = seg_sum(xs_flat, bid)[:, :K]
-    sum_y = seg_sum(ys_flat, bid)[:, :K]
+    gray_i = gray.astype(jnp.int32)
+    planes = [jnp.ones((B, H, W), jnp.float32),
+              boundary.astype(jnp.float32),
+              jnp.broadcast_to(xs, (B, H, W)).astype(jnp.float32),
+              jnp.broadcast_to(ys, (B, H, W)).astype(jnp.float32),
+              gray_i.astype(jnp.float32)]
+    with_color = use_color and color is not None
+    if with_color:
+        for ch in range(color.shape[-1]):
+            planes.append(color[..., ch].astype(jnp.float32))
+    vals = jnp.stack(planes, axis=-1).reshape(B, HW, len(planes))
+    onehot = (bid[..., None] == ks).astype(jnp.float32)    # [B, HW, K]
+    # f32 is exact here: every per-blob partial stays below 2^24.
+    sums = jnp.einsum("bps,bpk->bsk", vals, onehot,
+                      preferred_element_type=jnp.float32)  # [B, S, K]
+
+    area_px = sums[:, 0].astype(jnp.int32)
+    n_boundary = sums[:, 1]
+    sum_x = sums[:, 2].astype(jnp.int32)
+    sum_y = sums[:, 3].astype(jnp.int32)
+    fg_sum = sums[:, 4].astype(jnp.int32)
+
+    # cv2.contourArea equivalence via Pick's theorem
+    area = sums[:, 0] - 0.5 * n_boundary - 1.0
+
+    valid = area_px > 0
     safe_px = jnp.maximum(area_px, 1)
     cx = sum_x // safe_px
     cy = sum_y // safe_px
 
-    x0 = seg_min(jnp.where(mask_flat, xs_flat, W), bid)[:, :K]
-    y0 = seg_min(jnp.where(mask_flat, ys_flat, H), bid)[:, :K]
-    x1 = seg_max(jnp.where(mask_flat, xs_flat, -1), bid)[:, :K]
-    y1 = seg_max(jnp.where(mask_flat, ys_flat, -1), bid)[:, :K]
-    valid = area_px > 0
+    # --- bbox via row/column slot-presence (2 fused bool reductions) -------
+    bid3 = bid.reshape(B, H, W)
+    row_has = jnp.any(bid3[..., None] == ks, axis=-2)      # [B, H, K]
+    col_has = jnp.any(bid3[..., None] == ks, axis=-3)      # [B, W, K]
+    h_idx = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    w_idx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    y0 = jnp.min(jnp.where(row_has, h_idx, H), axis=1)
+    y1 = jnp.max(jnp.where(row_has, h_idx, -1), axis=1)
+    x0 = jnp.min(jnp.where(col_has, w_idx, W), axis=1)
+    x1 = jnp.max(jnp.where(col_has, w_idx, -1), axis=1)
     x0 = jnp.where(valid, x0, 0)
     y0 = jnp.where(valid, y0, 0)
     w = jnp.where(valid, x1 - x0 + 1, 0)
     h = jnp.where(valid, y1 - y0 + 1, 0)
 
     # --- intensity stats ---------------------------------------------------
-    gray_i = gray.astype(jnp.int32)
-    fg_sum = seg_sum(gray_i.reshape(B, HW) * mask_flat, bid)[:, :K]
     ii = _integral(gray_i)
     bbox_sum = _bbox_sum(ii, x0, y0, x0 + w, y0 + h)
     bg_px = w * h - area_px
@@ -166,12 +185,11 @@ def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
     shape_score = jnp.where(rect_area > 0, 1.0 - area / rect_area, 1.0)
 
     # --- color score -------------------------------------------------------
-    if use_color and color is not None:
+    if with_color:
         diffs = []
         for ch in range(color.shape[-1]):
-            c_i = color[..., ch].astype(jnp.int32)
-            c_fg = seg_sum(c_i.reshape(B, HW) * mask_flat, bid)[:, :K]
-            c_ii = _integral(c_i)
+            c_fg = sums[:, 5 + ch].astype(jnp.int32)
+            c_ii = _integral(color[..., ch].astype(jnp.int32))
             c_bbox = _bbox_sum(c_ii, x0, y0, x0 + w, y0 + h)
             c_fg_mean = jnp.where(valid,
                                   c_fg.astype(jnp.float32) / safe_px, 127.0)

@@ -7,11 +7,17 @@ hardware: a virtual 8-device CPU platform stands in for an 8-chip slice
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image pins JAX_PLATFORMS=axon (the TPU tunnel); tests must run on a
+# virtual 8-device CPU platform, so force it before jax initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

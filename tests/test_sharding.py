@@ -1,0 +1,83 @@
+"""Multi-chip sharded inspection parity versus the single-chip program.
+
+Runs on the virtual 8-device CPU mesh (conftest).  The spatially-sharded
+stencil phase (halo exchange over "spatial") must be bit-identical to the
+single-chip path, and the full sharded step must reproduce the single-chip
+blob tables exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heimdall_tpu.parallel.mesh import make_mesh, mesh_info
+from heimdall_tpu.parallel.sharding import shard_batch
+from heimdall_tpu.parallel.inspect_step import (
+    make_sharded_inspection_step, make_line_step)
+from heimdall_tpu.detectors.contamination_detector import (
+    contamination_program)
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def _frames(n, h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = np.full((n, h, w, 3), 220, np.uint8)
+    for i in range(n):
+        for _ in range(3):
+            y, x = rng.randint(10, h - 10), rng.randint(10, w - 10)
+            r = rng.randint(3, 9)
+            v = rng.randint(0, 60)
+            yy, xx = np.ogrid[:h, :w]
+            m = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+            frames[i][m] = (v, v, v)
+    return frames
+
+
+@needs_8
+@pytest.mark.parametrize("data,spatial", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single_chip(data, spatial):
+    mesh = make_mesh(data=data, spatial=spatial)
+    n = data * spatial * 2
+    h, w = 32 * spatial, 64
+    frames = _frames(n, h, w)
+
+    step = make_sharded_inspection_step(mesh, max_blobs=16)
+    t_sh, conf_sh, acc_sh = step(
+        shard_batch(mesh, frames, spatial=True), 15, 10.0, 3000.0, 0.25)
+
+    t_ref, conf_ref, acc_ref = contamination_program(
+        jnp.asarray(frames), jnp.int32(15), jnp.float32(10.0),
+        jnp.float32(3000.0), jnp.float32(0.25), max_blobs=16)
+
+    np.testing.assert_array_equal(np.asarray(acc_sh), np.asarray(acc_ref))
+    np.testing.assert_array_equal(np.asarray(t_sh.area_px),
+                                  np.asarray(t_ref.area_px))
+    np.testing.assert_array_equal(np.asarray(t_sh.x), np.asarray(t_ref.x))
+    np.testing.assert_array_equal(np.asarray(t_sh.y), np.asarray(t_ref.y))
+    np.testing.assert_allclose(np.asarray(conf_sh), np.asarray(conf_ref),
+                               atol=1e-5)
+
+
+@needs_8
+def test_line_step_stats():
+    mesh = make_mesh(data=4, spatial=2)
+    n = 16
+    frames = _frames(n, 64, 64, seed=3)
+    step = make_line_step(mesh, max_blobs=16)
+    table, conf, accepted, stats = step(
+        shard_batch(mesh, frames, spatial=True), 15, 10.0, 3000.0, 0.25, 0.7)
+    assert int(stats["frames"]) == n
+    assert int(stats["defects"]) == int(np.asarray(accepted).sum())
+    assert 0 <= int(stats["rejects"]) <= n
+
+
+def test_mesh_info():
+    mesh = make_mesh(data=-1, spatial=1)
+    info = mesh_info(mesh)
+    assert info["axis_names"] == ["data", "spatial"]
+    assert info["n_devices"] == len(jax.devices())
