@@ -1,0 +1,501 @@
+"""Fused Pallas TPU kernel for the contamination hot path.
+
+One kernel invocation per frame (grid over the batch) runs the ENTIRE
+detection pipeline in VMEM — grayscale, Gaussian blur, adaptive threshold,
+morphological open/close, hole filling, connected-component labeling,
+compact-id assignment, and all per-blob statistics — so HBM traffic per
+frame is one uint8 frame in (~0.9 MB) and a few KB of blob tables out.
+The XLA composition of the same ops (ops/*.py) materializes every
+intermediate to HBM and pays ~30 while-loop dispatches; this kernel is the
+speed-of-light version.  Numerics are identical to the XLA ops (same Q8
+fixed-point blur, float32+rint adaptive mean, Pick's-theorem areas), which
+are themselves OpenCV-parity — verified in tests/test_pallas_kernels.py.
+
+Building blocks chosen for Mosaic's TPU lowering (no rev/pad/cumsum/
+associative_scan primitives):
+  * border-aware shifts: jnp.concatenate of slices (replicate / reflect-101
+    / constant fills built from broadcast or stacked single rows),
+  * segmented min/or scans: Hillis-Steele doubling over shifted copies,
+  * 2-D prefix sums (compact ids, integral images): log-step doubling,
+  * per-blob statistics: a fori_loop over table slots doing 2-D masked
+    reductions (Mosaic's 3-D layouts proved too fragile for one-hot
+    matmuls), accumulating into [.,K] carries via one-hot lane masks,
+  * frames enter channel-major ([B, 3, H, W]) so the VMEM layout keeps
+    (H, W) as the tiled minor dims.
+"""
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from heimdall_tpu.ops.filters import gaussian_kernel_1d, _q8_taps
+
+# Stats row layout in the kernel's sums output [S, K].
+S_ONES, S_BND, S_X, S_Y, S_GRAY, S_B, S_G, S_R = range(8)
+N_SUMS = 8
+
+
+# ---------------------------------------------------------------------------
+# shifts with border semantics (pure concat/broadcast — Mosaic-friendly)
+# ---------------------------------------------------------------------------
+
+def _fill_block(x, s, axis, mode, value, top):
+    """The s rows/cols a border mode synthesizes outside the array."""
+    size = x.shape[axis]
+    if mode == "constant":
+        shape = list(x.shape)
+        shape[axis] = s
+        return jnp.full(shape, value, x.dtype)
+    if mode == "replicate":
+        sl = (jax.lax.slice_in_dim(x, 0, 1, axis=axis) if top
+              else jax.lax.slice_in_dim(x, size - 1, size, axis=axis))
+        reps = [1] * x.ndim
+        reps[axis] = s
+        return jnp.tile(sl, reps)
+    if mode == "reflect101":
+        # top: rows x[s], x[s-1], ..., x[1]; bottom: x[-2], ..., x[-s-1]
+        rows = []
+        for i in range(s):
+            j = (s - i) if top else (size - 2 - i)
+            rows.append(jax.lax.slice_in_dim(x, j, j + 1, axis=axis))
+        return jnp.concatenate(rows, axis=axis)
+    raise ValueError(mode)
+
+
+def _shift(x, s, axis, mode="constant", value=0):
+    """out[i] = x[i - s] along ``axis`` with border fill (s may be <0)."""
+    if s == 0:
+        return x
+    size = x.shape[axis]
+    a = abs(s)
+    if s > 0:
+        fill = _fill_block(x, a, axis, mode, value, top=True)
+        body = jax.lax.slice_in_dim(x, 0, size - a, axis=axis)
+        return jnp.concatenate([fill, body], axis=axis)
+    fill = _fill_block(x, a, axis, mode, value, top=False)
+    body = jax.lax.slice_in_dim(x, a, size, axis=axis)
+    return jnp.concatenate([body, fill], axis=axis)
+
+
+def _shift_const(x, s, axis, value):
+    """out[i] = x[i-s] with constant fill — lane/sublane rolls + iota mask
+    (much cheaper than concat on the VPU; scans/morphology use this)."""
+    if s == 0:
+        return x
+    n = x.shape[axis]
+    rolled = pltpu.roll(x, s % n, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if s > 0:
+        return jnp.where(idx < s, value, rolled)
+    return jnp.where(idx >= n + s, value, rolled)
+
+
+def _conv_axis(x, taps, axis, mode):
+    """Correlation along one axis with border handling (integer or float)."""
+    r = len(taps) // 2
+    out = None
+    for i, t in enumerate(taps):
+        term = t * _shift(x, r - i, axis, mode)
+        out = term if out is None else out + term
+    return out
+
+
+def _minmax3(x, is_min):
+    """3x3 erode/dilate with OpenCV constant border (255 / 0)."""
+    value = 255 if is_min else 0
+    op = jnp.minimum if is_min else jnp.maximum
+    out = None
+    for dy in (-1, 0, 1):
+        sy = _shift_const(x, dy, 0, value)
+        for dx in (-1, 0, 1):
+            s = _shift_const(sy, dx, 1, value)
+            out = s if out is None else op(out, s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# segmented scans via Hillis-Steele doubling
+# ---------------------------------------------------------------------------
+
+def _seg_min_scan(v, blocked, axis, reverse, sentinel):
+    """Segmented running-min along ``axis`` (blocked positions reset)."""
+    size = v.shape[axis]
+    steps = max(1, math.ceil(math.log2(size)))
+    d = 1
+    sgn = 1 if not reverse else -1
+    for _ in range(steps):
+        vs = _shift_const(v, sgn * d, axis, sentinel)
+        bs = _shift_const(blocked, sgn * d, axis, 1)
+        v = jnp.where(blocked > 0, v, jnp.minimum(v, vs))
+        blocked = blocked | bs
+        d *= 2
+    return v
+
+
+def _seg_or_scan(f, blocked, axis, reverse):
+    size = f.shape[axis]
+    steps = max(1, math.ceil(math.log2(size)))
+    d = 1
+    sgn = 1 if not reverse else -1
+    for _ in range(steps):
+        fs = _shift_const(f, sgn * d, axis, 0)
+        bs = _shift_const(blocked, sgn * d, axis, 1)
+        f = jnp.where(blocked > 0, f, f | fs)
+        blocked = blocked | bs
+        d *= 2
+    return f
+
+
+def _cumsum_axis(x, axis):
+    """Inclusive prefix sum via doubling (int32)."""
+    size = x.shape[axis]
+    steps = max(1, math.ceil(math.log2(size)))
+    d = 1
+    for _ in range(steps):
+        x = x + _shift_const(x, d, axis, 0)
+        d *= 2
+    return x
+
+
+# ---------------------------------------------------------------------------
+# in-kernel CCL machinery (mask/labels are [H, W] int32 in VMEM)
+# ---------------------------------------------------------------------------
+
+def _neighbor_min8(lab, sentinel):
+    out = lab
+    for dy in (-1, 0, 1):
+        sy = _shift_const(lab, dy, 0, sentinel)
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = jnp.minimum(out, _shift_const(sy, dx, 1, sentinel))
+    return out
+
+
+def _ccl_sweeps(lab, fg, sentinel, sweeps):
+    bg = 1 - fg
+    bg_t = jnp.transpose(bg)
+    fg_t = jnp.transpose(fg)
+
+    def body(_, lab):
+        lab = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
+        for reverse in (False, True):
+            lab = _seg_min_scan(lab, bg, 1, reverse, sentinel)
+            lab = jnp.where(fg > 0, lab, sentinel)
+        # column scans as lane scans on the transpose (sublane shifts are
+        # far costlier than one MXU transpose round-trip)
+        lab_t = jnp.transpose(lab)
+        for reverse in (False, True):
+            lab_t = _seg_min_scan(lab_t, bg_t, 1, reverse, sentinel)
+            lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
+        return jnp.transpose(lab_t)
+
+    return jax.lax.fori_loop(0, sweeps, body, lab)
+
+
+def _fill_holes_sweeps(fg, border, sweeps):
+    """Returns filled foreground (int32 0/1)."""
+    bg = 1 - fg
+
+    bg_t = jnp.transpose(bg)
+    fg_t = jnp.transpose(fg)
+
+    def body(_, ext):
+        grown = ext
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            grown = grown | _shift_const(_shift_const(ext, dy, 0, 0),
+                                         dx, 1, 0)
+        ext = grown & bg
+        for reverse in (False, True):
+            ext = _seg_or_scan(ext, fg, 1, reverse) & bg
+        ext_t = jnp.transpose(ext)
+        for reverse in (False, True):
+            ext_t = _seg_or_scan(ext_t, fg_t, 1, reverse) & bg_t
+        return jnp.transpose(ext_t)
+
+    ext = jax.lax.fori_loop(0, sweeps, body, bg * border)
+    return 1 - ext
+
+
+# ---------------------------------------------------------------------------
+# the fused kernel
+# ---------------------------------------------------------------------------
+
+def _make_label_kernel(H, W, K, sweeps):
+    """Kernel A: frame → CCL labels (int32; background = H*W).
+
+    Runs preprocess (gray → Q8 blur5 → float adaptive-11 threshold → open →
+    close), hole filling and CCL entirely in VMEM.  Split from the stats
+    kernel to fit the ~16 MB VMEM budget at 480x640.  Compact ids are NOT
+    propagated — the stats kernel recovers slot k's membership by looking
+    up the k-th root's label value (two cheap reductions per slot), which
+    removes a third of this kernel's sweep cost.
+    """
+    sentinel = H * W
+    taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
+    k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
+
+    def kernel(ct_ref, frame_ref, lab_ref):
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        b = frame_ref[0, 0].astype(jnp.int32)
+        g = frame_ref[0, 1].astype(jnp.int32)
+        r = frame_ref[0, 2].astype(jnp.int32)
+
+        gray = (b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15
+        acc = _conv_axis(_conv_axis(gray, taps5, 1, "reflect101"),
+                         taps5, 0, "reflect101")
+        blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
+        mf = _conv_axis(_conv_axis(blurred.astype(jnp.float32), k11, 1,
+                                   "replicate"), k11, 0, "replicate")
+        mean = jnp.rint(mf).astype(jnp.int32)
+        binary = jnp.where(blurred <= mean - ct_ref[0], 255, 0)
+        binary = _minmax3(_minmax3(binary, True), False)    # open
+        binary = _minmax3(_minmax3(binary, False), True)    # close
+        fg0 = (binary > 0).astype(jnp.int32)
+
+        border = ((row_idx == 0) | (row_idx == H - 1)
+                  | (col_idx == 0) | (col_idx == W - 1)).astype(jnp.int32)
+        fg = _fill_holes_sweeps(fg0, border, sweeps)
+        lin = row_idx * W + col_idx
+        lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg, sentinel,
+                          sweeps)
+        lab_ref[0] = lab
+
+    return kernel
+
+
+def _make_stats_kernel(H, W, K):
+    """Kernel B: frame + CCL labels → per-blob statistic tables.
+
+    Slot k's pixel membership: recover the k-th root's label (the raster
+    rank of roots gives compact ids without any propagation) with two
+    reductions, then compare the label image against that scalar."""
+    sentinel = H * W
+
+    def kernel(ct_ref, frame_ref, lab_ref, sums_ref, bbox_ref, bgsum_ref,
+               meta_ref):
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        b = frame_ref[0, 0].astype(jnp.int32)
+        g = frame_ref[0, 1].astype(jnp.int32)
+        r = frame_ref[0, 2].astype(jnp.int32)
+        gray = (b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15
+        lab = lab_ref[0]
+        lin = row_idx * W + col_idx
+        fg = (lab != sentinel).astype(jnp.int32)
+        is_root = (fg > 0) & (lab == lin)
+        pre_row = _cumsum_axis(is_root.astype(jnp.int32), 1)
+        row_tot_b = jnp.broadcast_to(
+            jax.lax.slice_in_dim(pre_row, W - 1, W, axis=1), (H, W))
+        row_off = _cumsum_axis(row_tot_b, 0) - row_tot_b
+        compact = pre_row + row_off - 1                     # id at roots
+        n_blobs = jnp.sum(is_root.astype(jnp.int32))
+
+        nb4 = (_shift(fg, 1, 0) + _shift(fg, -1, 0)
+               + _shift(fg, 1, 1) + _shift(fg, -1, 1))
+        boundaryf = ((fg > 0) & (nb4 < 4)).astype(jnp.float32)
+
+        grayf = gray.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        rf = r.astype(jnp.float32)
+        col_f = col_idx.astype(jnp.float32)
+        row_f = row_idx.astype(jnp.float32)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (N_SUMS, K), 1)
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, K), 1)
+
+        def slot_body(k, carry):
+            sums, bboxes, bgsums = carry
+            root_label = jnp.min(jnp.where(is_root & (compact == k),
+                                           lin, sentinel))
+            m = (lab == root_label) & (root_label < sentinel)
+            mf = m.astype(jnp.float32)
+            stat_col = jnp.concatenate([
+                jnp.sum(mf).reshape(1, 1),
+                jnp.sum(mf * boundaryf).reshape(1, 1),
+                jnp.sum(mf * col_f).reshape(1, 1),
+                jnp.sum(mf * row_f).reshape(1, 1),
+                jnp.sum(mf * grayf).reshape(1, 1),
+                jnp.sum(mf * bf).reshape(1, 1),
+                jnp.sum(mf * gf).reshape(1, 1),
+                jnp.sum(mf * rf).reshape(1, 1),
+            ], axis=0)                                       # [8, 1]
+            sums = sums + jnp.where(lane8 == k, stat_col,
+                                    jnp.float32(0.0))
+
+            x0 = jnp.min(jnp.where(m, col_idx, W))
+            x1 = jnp.max(jnp.where(m, col_idx, -1))
+            y0 = jnp.min(jnp.where(m, row_idx, H))
+            y1 = jnp.max(jnp.where(m, row_idx, -1))
+            bbox_col = jnp.concatenate(
+                [x0.reshape(1, 1), y0.reshape(1, 1),
+                 x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)
+            bboxes = jnp.where(lane4 == k, bbox_col, bboxes)
+
+            in_box = ((row_idx >= y0) & (row_idx <= y1)
+                      & (col_idx >= x0) & (col_idx <= x1)
+                      ).astype(jnp.float32)
+            bg_col = jnp.concatenate(
+                [jnp.sum(in_box * grayf).reshape(1, 1),
+                 jnp.sum(in_box * bf).reshape(1, 1),
+                 jnp.sum(in_box * gf).reshape(1, 1),
+                 jnp.sum(in_box * rf).reshape(1, 1)], axis=0)
+            bgsums = bgsums + jnp.where(lane4 == k, bg_col,
+                                        jnp.float32(0.0))
+            return sums, bboxes, bgsums
+
+        sums, bboxes, bgsums = jax.lax.fori_loop(
+            0, K, slot_body,
+            (jnp.zeros((N_SUMS, K), jnp.float32),
+             jnp.zeros((4, K), jnp.int32),
+             jnp.zeros((4, K), jnp.float32)))
+        sums_ref[0] = sums
+        bbox_ref[0] = bboxes
+        bgsum_ref[0] = bgsums
+        meta_ref[0] = jnp.full((1, 1), n_blobs, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
+                                             "chunk_rows", "interpret"))
+def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
+                         max_blobs: int = 64, sweeps: int = 6,
+                         chunk_rows: int = 8, interpret: bool = False):
+    """Run the fused two-kernel pipeline over a [B, H, W, 3] uint8 batch.
+
+    Kernel A labels (VMEM-resident preprocess + fill + CCL, one uint8
+    bid plane to HBM per frame); kernel B reduces per-blob statistics.
+    Returns raw per-frame outputs:
+      sums   f32 [B, 8, K]  (ones, boundary, x, y, gray, b, g, r)
+      bbox   i32 [B, 4, K]  (x0, y0, x1, y1 — inclusive; invalid slots W/H/-1)
+      bgsum  f32 [B, 4, K]  (bbox-sums of gray, b, g, r)
+      n      i32 [B]        true blob count
+    """
+    B, H, W, _ = frames.shape
+    K = max_blobs
+    cm = jnp.transpose(frames, (0, 3, 1, 2))   # channel-major for tiling
+    ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
+
+    label_kernel = _make_label_kernel(H, W, K, sweeps)
+    gs_a = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, H, W), lambda i, c: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, H, W), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    lab = pl.pallas_call(
+        label_kernel,
+        grid_spec=gs_a,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        ),
+        interpret=interpret,
+    )(ct, cm)[0]
+
+    stats_kernel = _make_stats_kernel(H, W, K)
+    gs_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, H, W), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N_SUMS, K), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, K), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, K), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    sums, bbox, bgsum, meta = pl.pallas_call(
+        stats_kernel,
+        grid_spec=gs_b,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N_SUMS, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, 4, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(ct, cm, lab)
+    return sums, bbox, bgsum, meta[:, 0, 0]
+
+
+def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
+                      use_color: bool = True, sweeps: int = 6,
+                      interpret: bool = False):
+    """Fused-kernel equivalent of ops.blobs.blob_stats for the
+    contamination pipeline: runs the kernel and assembles a BlobTable
+    (same field semantics as the XLA path — tests/test_pallas_kernels.py
+    asserts equality)."""
+    import jax.numpy as jnp
+    from heimdall_tpu.ops.blobs import BlobTable
+
+    sums, bbox, bgsum, n_blobs = contamination_pallas(
+        frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
+        interpret=interpret)
+
+    area_px_f = sums[:, S_ONES]
+    area_px = area_px_f.astype(jnp.int32)
+    valid = area_px > 0
+    safe_px = jnp.maximum(area_px, 1)
+    area = area_px_f - 0.5 * sums[:, S_BND] - 1.0
+
+    cx = sums[:, S_X].astype(jnp.int32) // safe_px
+    cy = sums[:, S_Y].astype(jnp.int32) // safe_px
+
+    x0 = jnp.where(valid, bbox[:, 0], 0)
+    y0 = jnp.where(valid, bbox[:, 1], 0)
+    w = jnp.where(valid, bbox[:, 2] - bbox[:, 0] + 1, 0)
+    h = jnp.where(valid, bbox[:, 3] - bbox[:, 1] + 1, 0)
+
+    bg_px = w * h - area_px
+    fg_mean = jnp.where(valid, sums[:, S_GRAY] / safe_px, 127.0)
+    bg_mean = jnp.where(bg_px > 0,
+                        (bgsum[:, 0] - sums[:, S_GRAY])
+                        / jnp.maximum(bg_px, 1), 127.0)
+    intensity_diff = jnp.abs(bg_mean - fg_mean)
+    intensity_score = jnp.minimum(1.0, intensity_diff / 30.0)
+
+    rect_area = (w * h).astype(jnp.float32)
+    shape_score = jnp.where(rect_area > 0, 1.0 - area / rect_area, 1.0)
+
+    if use_color:
+        diffs = []
+        for ch, srow in ((1, S_B), (2, S_G), (3, S_R)):
+            c_fg = jnp.where(valid, sums[:, srow] / safe_px, 127.0)
+            c_bg = jnp.where(bg_px > 0,
+                             (bgsum[:, ch] - sums[:, srow])
+                             / jnp.maximum(bg_px, 1), 127.0)
+            diffs.append(jnp.abs(c_fg - c_bg))
+        color_diff = jnp.maximum(jnp.maximum(diffs[0], diffs[1]), diffs[2])
+        color_score = jnp.minimum(1.0, color_diff / 30.0)
+    else:
+        color_score = jnp.full_like(intensity_score, 0.5)
+
+    return BlobTable(
+        valid=valid, area=area, area_px=area_px, cx=cx, cy=cy,
+        x=x0, y=y0, w=w, h=h,
+        intensity_diff=intensity_diff, intensity_score=intensity_score,
+        shape_score=shape_score, color_score=color_score, n_blobs=n_blobs)

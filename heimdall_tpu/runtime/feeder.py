@@ -1,0 +1,229 @@
+"""Host→device frame feeding: ring buffers, native camera producers, and a
+double-buffered device feeder.
+
+This is where the reference's RT/acquisition machinery lands in the TPU
+design (SURVEY.md §2.3): pinned C++ producer threads fill a lock-free ring
+(rust/heimdall-rt/src/sync.rs, heimdall-gige frame channel), the Python
+side drains batches, and the DeviceFeeder overlaps host→HBM transfer of
+batch N+1 with device compute on batch N using JAX's async dispatch and
+donated buffers.
+"""
+
+import ctypes
+import logging
+import threading
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from heimdall_tpu import native_bridge
+
+logger = logging.getLogger("heimdall.feeder")
+
+
+class FrameRing:
+    """Lock-free SPSC frame ring (native-backed, Python deque fallback)."""
+
+    def __init__(self, capacity: int, frame_shape: Tuple[int, ...]):
+        self.frame_shape = tuple(frame_shape)
+        self.frame_bytes = int(np.prod(frame_shape))
+        self.capacity = capacity
+        self._lib = native_bridge._load()
+        if self._lib is not None:
+            self._ring = self._lib.hn_ring_create(capacity, self.frame_bytes)
+            self._fallback = None
+        else:
+            import collections
+            self._ring = None
+            self._fallback = collections.deque(maxlen=capacity)
+            self._drops = 0
+            self._pushes = 0
+            self._pops = 0
+
+    def push(self, frame: np.ndarray, frame_id: int = 0) -> bool:
+        frame = np.ascontiguousarray(frame, np.uint8)
+        if self._ring is not None:
+            return self._lib.hn_ring_push(
+                self._ring,
+                frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                frame_id) == 0
+        self._pushes += 1
+        if len(self._fallback) == self.capacity:
+            self._drops += 1
+            return False
+        self._fallback.append((frame.copy(), frame_id, time.time()))
+        return True
+
+    def pop(self) -> Optional[Tuple[np.ndarray, int, float]]:
+        """Returns (frame, frame_id, latency_us) or None if empty."""
+        if self._ring is not None:
+            out = np.empty(self.frame_bytes, np.uint8)
+            fid = ctypes.c_uint64()
+            lat = ctypes.c_double()
+            rc = self._lib.hn_ring_pop(
+                self._ring,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.byref(fid), ctypes.byref(lat))
+            if rc != 0:
+                return None
+            return out.reshape(self.frame_shape), fid.value, lat.value
+        try:
+            frame, fid, ts = self._fallback.popleft()
+            self._pops += 1
+            return frame.reshape(self.frame_shape), fid, \
+                (time.time() - ts) * 1e6
+        except IndexError:
+            return None
+
+    def pop_batch(self, n: int, timeout_s: float = 1.0) -> np.ndarray:
+        """Block until n frames are available (or timeout); returns
+        [m, *frame_shape] with m <= n."""
+        frames = []
+        deadline = time.time() + timeout_s
+        while len(frames) < n and time.time() < deadline:
+            item = self.pop()
+            if item is None:
+                time.sleep(0.0005)
+                continue
+            frames.append(item[0])
+        if not frames:
+            return np.empty((0,) + self.frame_shape, np.uint8)
+        return np.stack(frames)
+
+    def size(self) -> int:
+        if self._ring is not None:
+            return self._lib.hn_ring_size(self._ring)
+        return len(self._fallback)
+
+    def stats(self) -> Dict[str, float]:
+        if self._ring is not None:
+            out = (ctypes.c_double * 6)()
+            self._lib.hn_ring_stats(self._ring, out)
+            return {"pushes": out[0], "pops": out[1], "drops": out[2],
+                    "latency_mean_us": out[3], "latency_std_us": out[4],
+                    "latency_max_us": out[5]}
+        return {"pushes": float(self._pushes), "pops": float(self._pops),
+                "drops": float(self._drops), "latency_mean_us": 0.0,
+                "latency_std_us": 0.0, "latency_max_us": 0.0}
+
+    def close(self) -> None:
+        if self._ring is not None:
+            self._lib.hn_ring_destroy(self._ring)
+            self._ring = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeCameraFeeder:
+    """A native producer thread synthesizing paced camera frames into a ring
+    (the simulated-GigE equivalent; real cameras plug in at this seam)."""
+
+    def __init__(self, width: int = 640, height: int = 480, fps: float = 30,
+                 defect_probability: float = 0.1, capacity: int = 32,
+                 cpu: int = -1, rt_priority: int = 0, seed: int = 0):
+        self.width, self.height = width, height
+        self.ring = FrameRing(capacity, (height, width))
+        self._lib = native_bridge._load()
+        self._cam = None
+        self._py_thread = None
+        self._py_stop = threading.Event()
+        self.fps = fps
+        self.defect_probability = defect_probability
+        self.cpu = cpu
+        self.rt_priority = rt_priority
+        self.seed = seed
+
+    def start(self) -> None:
+        if self._lib is not None and self.ring._ring is not None:
+            self._cam = self._lib.hn_camera_start(
+                self.ring._ring, self.width, self.height,
+                ctypes.c_double(self.fps),
+                ctypes.c_double(self.defect_probability),
+                self.cpu, self.rt_priority, self.seed or 12345)
+            return
+        # Python fallback producer
+        from heimdall_tpu.core.acquisition import SimulationImageSource
+        src = SimulationImageSource("native_fallback", {
+            "width": self.width, "height": self.height,
+            "defect_probability": self.defect_probability,
+            "seed": self.seed or None})
+        src.open()
+
+        def loop():
+            period = 1.0 / self.fps
+            fid = 0
+            while not self._py_stop.is_set():
+                _, frame = src.read()
+                from heimdall_tpu.ops.color import bgr_to_gray
+                gray = np.asarray(bgr_to_gray(frame))
+                self.ring.push(gray, fid)
+                fid += 1
+                time.sleep(period)
+
+        self._py_thread = threading.Thread(target=loop, daemon=True)
+        self._py_thread.start()
+
+    def stop(self) -> None:
+        if self._cam is not None:
+            self._lib.hn_camera_stop(self._cam)
+            self._cam = None
+        if self._py_thread is not None:
+            self._py_stop.set()
+            self._py_thread.join(timeout=2)
+            self._py_thread = None
+
+    def stats(self) -> Dict[str, float]:
+        out = dict(self.ring.stats())
+        if self._cam is not None:
+            arr = (ctypes.c_double * 3)()
+            self._lib.hn_camera_stats(self._cam, arr)
+            out.update({"frames_produced": arr[0],
+                        "pacing_jitter_mean_us": arr[1],
+                        "pacing_jitter_max_us": arr[2]})
+        return out
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+class DeviceFeeder:
+    """Double-buffered host→device pipeline.
+
+    Submits batch N+1's H2D transfer and device program while batch N's
+    results are still in flight; JAX's async dispatch queues device work so
+    the TPU never waits on the host (the reference's semaphore-limited
+    parallel acquisition, heimdall-gige/src/lib.rs:113-134, maps to this
+    queue depth).
+    """
+
+    def __init__(self, step_fn: Callable[[np.ndarray], Any],
+                 max_in_flight: int = 2):
+        self.step_fn = step_fn
+        self.max_in_flight = max_in_flight
+        self._in_flight = []
+
+    def submit(self, batch: np.ndarray):
+        """Submit a batch; returns the completed result of an older batch
+        once the pipeline is full (None while filling)."""
+        import jax
+        out = self.step_fn(batch)
+        self._in_flight.append(out)
+        if len(self._in_flight) > self.max_in_flight:
+            ready = self._in_flight.pop(0)
+            return jax.device_get(ready)
+        return None
+
+    def drain(self):
+        import jax
+        results = [jax.device_get(r) for r in self._in_flight]
+        self._in_flight.clear()
+        return results

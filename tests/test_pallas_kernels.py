@@ -1,0 +1,69 @@
+"""Fused Pallas kernel parity versus the XLA ops pipeline.
+
+The kernel (ops/pallas_kernels.py) must reproduce the XLA path's
+BlobTable exactly (same Q8 blur, float adaptive mean, morphology, hole
+filling, CCL compact ordering, and stat formulas).  Runs in interpret
+mode on CPU so the parity gate is part of the normal suite; the real-TPU
+execution is exercised by bench.py and the detector backend tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heimdall_tpu.ops.pallas_kernels import pallas_blob_table
+from heimdall_tpu.detectors.contamination_detector import (
+    contamination_program)
+
+
+def _frames(n=2, h=64, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = np.full((n, h, w, 3), 220, np.uint8)
+    for i in range(n):
+        for _ in range(3):
+            y, x = rng.randint(8, h - 8), rng.randint(8, w - 8)
+            r = rng.randint(2, 7)
+            v = rng.randint(0, 60)
+            yy, xx = np.ogrid[:h, :w]
+            m = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+            frames[i][m] = (v, v, v)
+    return frames
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_matches_xla(seed):
+    interpret = jax.default_backend() == "cpu"
+    frames = jnp.asarray(_frames(seed=seed))
+    t_pl = pallas_blob_table(frames, 15, max_blobs=32, sweeps=6,
+                             interpret=interpret)
+    t_xla, _, _ = contamination_program(
+        frames, jnp.int32(15), jnp.float32(0.0), jnp.float32(1e9),
+        jnp.float32(0.0), max_blobs=32, ccl_sweeps=6)
+
+    np.testing.assert_array_equal(np.asarray(t_pl.valid),
+                                  np.asarray(t_xla.valid))
+    np.testing.assert_array_equal(np.asarray(t_pl.area_px),
+                                  np.asarray(t_xla.area_px))
+    np.testing.assert_allclose(np.asarray(t_pl.area),
+                               np.asarray(t_xla.area), atol=1e-4)
+    for f in ("cx", "cy", "x", "y", "w", "h"):
+        np.testing.assert_array_equal(np.asarray(getattr(t_pl, f)),
+                                      np.asarray(getattr(t_xla, f)),
+                                      err_msg=f)
+    for f in ("intensity_score", "shape_score", "color_score"):
+        np.testing.assert_allclose(np.asarray(getattr(t_pl, f)),
+                                   np.asarray(getattr(t_xla, f)),
+                                   atol=1e-4, err_msg=f)
+    np.testing.assert_array_equal(np.asarray(t_pl.n_blobs),
+                                  np.asarray(t_xla.n_blobs))
+
+
+def test_pallas_grayscale_input_rejected():
+    """The fused kernel is BGR-only; the detector falls back to XLA for
+    grayscale inputs."""
+    frames = jnp.asarray(np.zeros((1, 64, 128), np.uint8))
+    with pytest.raises(Exception):
+        pallas_blob_table(frames, 15,
+                          interpret=jax.default_backend() == "cpu")
