@@ -15,6 +15,7 @@ Prints ONE JSON line to stdout; detail metrics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,25 +48,29 @@ def make_frames(n, h=480, w=640, seed=0):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from heimdall_tpu.detectors.contamination_detector import (
-        contamination_program)
+        ContaminationDetector)
+    from heimdall_tpu.ops import blobs as blobs_mod
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
     frames = make_frames(batch)
 
-    args = (jnp.int32(15), jnp.float32(10.0), jnp.float32(3000.0),
-            jnp.float32(0.25))
+    det = ContaminationDetector(config={
+        "backend": backend, "include_contours": False})
 
     def run(frames_host):
         x = jax.device_put(frames_host, dev)
-        table, conf, accepted = contamination_program(
-            x, *args, max_blobs=64, use_color=True,
-            formula="python", return_labels=False)
+        table, conf, accepted = det.run_device(x)
         return jax.device_get(accepted), jax.device_get(conf)
 
     # warmup / compile

@@ -116,6 +116,12 @@ class ContaminationDetector(DefectDetector):
         # every shape in the parity suite including JPEG-noise blobs (which
         # need 5); raise or set 0 for pathological mask geometry.
         self.ccl_sweeps = self.config.get("ccl_sweeps", 6)
+        # Compute backend: "xla" composes the ops library (fast compiles,
+        # runs anywhere); "pallas" uses the fused VMEM-resident kernels
+        # (ops/pallas_kernels.py — ~4x faster steady-state on a v5e but
+        # minutes of first-compile through the remote Mosaic toolchain, and
+        # no label-image output, so contour metadata falls back to XLA).
+        self.backend = self.config.get("backend", "xla")
         self.logger.info(
             "Detector %s initialized with min_size=%s, max_size=%s, "
             "threshold=%s", self.name, self.min_contaminant_size,
@@ -125,6 +131,22 @@ class ContaminationDetector(DefectDetector):
     def run_device(self, images, return_labels: bool = False):
         """Run the jitted program on a [N, H, W, C] batch; returns device
         arrays without host sync (compose with other device work)."""
+        images = jnp.asarray(images)
+        if (self.backend == "pallas" and not return_labels
+                and images.ndim == 4 and images.shape[-1] == 3):
+            from heimdall_tpu.ops.pallas_kernels import pallas_blob_table
+            table = pallas_blob_table(
+                images, int(self.contrast_threshold),
+                max_blobs=self.max_blobs, use_color=self.use_color,
+                sweeps=max(self.ccl_sweeps, 1))
+            conf = (blobs_mod.confidence_native(table)
+                    if self.formula == "native"
+                    else blobs_mod.confidence_python(table))
+            accepted = (table.valid
+                        & (table.area >= self.min_contaminant_size)
+                        & (table.area <= self.max_contaminant_size)
+                        & (conf >= self.min_confidence))
+            return table, conf, accepted
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),

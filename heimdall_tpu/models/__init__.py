@@ -1,0 +1,6 @@
+from heimdall_tpu.models.defect_classifier import (
+    DefectClassifier,
+    ClassifierTrainer,
+    make_sharded_train_step,
+    extract_blob_patches,
+)

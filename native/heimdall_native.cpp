@@ -272,10 +272,15 @@ int flood_fill_blobs(const uint8_t* binary, const uint8_t* gray, int h, int w,
     }
     if (area < min_size || area > max_size) continue;
     if (n_blobs < max_blobs) {
-      // bbox background mean for the intensity score
+      // background mean over the bbox expanded by a margin (the
+      // reference native path samples around the blob, not just inside
+      // its bbox — detection.rs fg/bg margin)
+      const int margin = 4;
       long bg_sum = 0, bg_cnt = 0;
-      for (int y = y0; y <= y1; ++y)
-        for (int x = x0; x <= x1; ++x) {
+      for (int y = std::max(y0 - margin, 0);
+           y <= std::min(y1 + margin, h - 1); ++y)
+        for (int x = std::max(x0 - margin, 0);
+             x <= std::min(x1 + margin, w - 1); ++x) {
           int p = y * w + x;
           if (!binary[p]) {
             bg_sum += gray[p];
