@@ -1,0 +1,173 @@
+"""Integration tests: IPC, PLC, inspector end-to-end, examples, CLI."""
+
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from heimdall_tpu.runtime.ipc import (MessageBroker,
+                                      SharedMemoryFrameChannel)
+from heimdall_tpu.runtime.plc import (PLCClient, RejectionController,
+                                      REG_REJECT_PULSE)
+
+
+class TestSharedMemoryChannel:
+    def test_roundtrip(self):
+        with SharedMemoryFrameChannel("hm_test_rt", (16, 16), slots=4,
+                                      create=True) as ch:
+            frame = np.arange(256, dtype=np.uint8).reshape(16, 16)
+            ch.write(frame, 7)
+            out, fid, ts = ch.latest()
+            np.testing.assert_array_equal(out, frame)
+            assert fid == 7
+
+    def test_latest_wins(self):
+        with SharedMemoryFrameChannel("hm_test_lw", (8, 8), slots=4,
+                                      create=True) as ch:
+            for i in range(10):
+                ch.write(np.full((8, 8), i, np.uint8), i)
+            out, fid, _ = ch.latest()
+            assert fid == 9
+            assert out[0, 0] == 9
+
+    def test_cross_attach(self):
+        with SharedMemoryFrameChannel("hm_test_x", (8, 8), slots=2,
+                                      create=True) as producer:
+            producer.write(np.full((8, 8), 42, np.uint8), 1)
+            consumer = SharedMemoryFrameChannel("hm_test_x", (8, 8),
+                                                slots=2, create=False)
+            out, fid, _ = consumer.latest()
+            assert out[0, 0] == 42
+            consumer.close()
+
+    def test_empty(self):
+        with SharedMemoryFrameChannel("hm_test_e", (8, 8), slots=2,
+                                      create=True) as ch:
+            assert ch.latest() is None
+
+
+class TestMessageBroker:
+    def test_pub_sub(self):
+        broker = MessageBroker()
+        sub = broker.subscribe("frames")
+        assert broker.publish("frames", {"id": 1}) == 1
+        assert sub.get(timeout=1) == {"id": 1}
+        assert broker.publish("other", "x") == 0
+
+    def test_full_queue_drops(self):
+        broker = MessageBroker()
+        sub = broker.subscribe("t", maxsize=2)
+        for i in range(5):
+            broker.publish("t", i)
+        assert broker.stats()["dropped"] == 3
+        assert sub.try_get() == 0
+
+    def test_unsubscribe(self):
+        broker = MessageBroker()
+        sub = broker.subscribe("t")
+        broker.unsubscribe(sub)
+        assert broker.publish("t", 1) == 0
+
+
+class TestPLC:
+    def test_simulated_registers(self):
+        plc = PLCClient()
+        plc.connect()
+        plc.write_register(5, 123)
+        assert plc.read_register(5) == 123
+        plc.disconnect()
+        with pytest.raises(ConnectionError):
+            plc.read_register(5)
+
+    def test_rejection_pulse(self):
+        plc = PLCClient()
+        plc.connect()
+        ctrl = RejectionController(plc, delay_ms=20, pulse_duration_ms=10)
+        event = ctrl.reject("station_1", confidence=0.9)
+        time.sleep(0.2)
+        assert event.fired_at is not None
+        assert event.fired_at - event.scheduled_at >= 0.02
+        assert plc.read_register(REG_REJECT_PULSE) == 0  # pulse ended
+        assert ctrl.stats()["fired"] == 1
+
+
+class TestInspectorEndToEnd:
+    def test_inspect_finds_deterministic_defects(self):
+        sys.path.insert(0, "examples")
+        from test_contamination import (add_artificial_contamination,
+                                        make_bottle)
+        from heimdall_tpu.inspection.contamination_inspector import (
+            ContaminationInspector)
+        inspector = ContaminationInspector("it")
+        img = add_artificial_contamination(make_bottle(320, 240), seed=1)
+        result = inspector.inspect(img)
+        assert result.success
+        assert result.defect_count >= 2
+        assert "visualization" in result.images
+        assert result.images["processed"].shape == (240, 320)
+        d = result.to_dict()
+        assert d["defect_count"] == result.defect_count
+
+    def test_inspect_batch(self):
+        sys.path.insert(0, "examples")
+        from test_contamination import (add_artificial_contamination,
+                                        make_bottle)
+        from heimdall_tpu.inspection.contamination_inspector import (
+            ContaminationInspector)
+        inspector = ContaminationInspector("it2")
+        imgs = np.stack([
+            add_artificial_contamination(make_bottle(320, 240), seed=s)
+            for s in (1, 2)])
+        results = inspector.inspect_batch(imgs)
+        assert len(results) == 2
+        assert all(r.success for r in results)
+        assert all(r.defect_count >= 2 for r in results)
+
+
+class TestExamples:
+    @pytest.mark.parametrize("script", [
+        "examples/camera_capture.py",
+        "examples/gige_bottle_inspection.py",
+    ])
+    def test_example_runs(self, script):
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=300, env={"PYTHONPATH": ".", "JAX_PLATFORMS": "cpu",
+                              "PATH": "/usr/bin:/bin:/usr/local/bin",
+                              "HOME": "/root"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+class TestCLI:
+    def test_cli_against_dashboard(self):
+        from heimdall_tpu.serving.dashboard import DashboardServer
+        from heimdall_tpu import cli
+        srv = DashboardServer(port=0, settings={"width": 64, "height": 48})
+        srv.start_background()
+        try:
+            rc = cli.main(["--port", str(srv.port), "status"])
+            assert rc == 0
+            rc = cli.main(["--port", str(srv.port), "set", "batch_size",
+                           "2"])
+            assert rc == 0
+            assert srv.state.settings["batch_size"] == 2
+        finally:
+            srv.shutdown()
+
+    def test_cli_unreachable(self):
+        from heimdall_tpu import cli
+        assert cli.main(["--port", "1", "status"]) == 1
+
+
+class TestMainCLI:
+    def test_diagnose(self):
+        from heimdall_tpu.main import main
+        assert main(["--diagnose"]) == 0
+
+    def test_simulation_short_run(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from heimdall_tpu.main import main
+        assert main(["-s", "--duration", "3"]) == 0
