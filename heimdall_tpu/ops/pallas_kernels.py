@@ -122,31 +122,47 @@ def _minmax3(x, is_min):
 # segmented scans via Hillis-Steele doubling
 # ---------------------------------------------------------------------------
 
-def _seg_min_scan(v, blocked, axis, reverse, sentinel):
-    """Segmented running-min along ``axis`` (blocked positions reset)."""
+def _reset_distance(is_reset, axis, reverse):
+    """Per-position distance (inclusive) to the nearest reset at-or-before
+    it along the scan direction; used to evaluate the segmented-scan
+    "blocked" predicate as one compare per step instead of carrying and
+    shifting a flag plane.  dist[i] = i - last_reset_index[i] (or a large
+    number when no reset yet)."""
+    n = is_reset.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, is_reset.shape, axis)
+    if reverse:
+        idx = (n - 1) - idx
+    last = jnp.where(is_reset > 0, idx, -n)
+    d = 1
+    for _ in range(max(1, math.ceil(math.log2(n)))):
+        sgn = 1 if not reverse else -1
+        last = jnp.maximum(last, _shift_const(last, sgn * d, axis, -n))
+        d *= 2
+    return idx - last
+
+
+def _seg_min_scan(v, dist, axis, reverse, sentinel):
+    """Segmented running-min along ``axis``; ``dist`` from
+    _reset_distance for the same direction."""
     size = v.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
     d = 1
     sgn = 1 if not reverse else -1
     for _ in range(steps):
         vs = _shift_const(v, sgn * d, axis, sentinel)
-        bs = _shift_const(blocked, sgn * d, axis, 1)
-        v = jnp.where(blocked > 0, v, jnp.minimum(v, vs))
-        blocked = blocked | bs
+        v = jnp.where(dist < d, v, jnp.minimum(v, vs))
         d *= 2
     return v
 
 
-def _seg_or_scan(f, blocked, axis, reverse):
+def _seg_or_scan(f, dist, axis, reverse):
     size = f.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
     d = 1
     sgn = 1 if not reverse else -1
     for _ in range(steps):
         fs = _shift_const(f, sgn * d, axis, 0)
-        bs = _shift_const(blocked, sgn * d, axis, 1)
-        f = jnp.where(blocked > 0, f, f | fs)
-        blocked = blocked | bs
+        f = jnp.where(dist < d, f, f | fs)
         d *= 2
     return f
 
@@ -167,32 +183,34 @@ def _cumsum_axis(x, axis):
 # ---------------------------------------------------------------------------
 
 def _neighbor_min8(lab, sentinel):
-    out = lab
-    for dy in (-1, 0, 1):
-        sy = _shift_const(lab, dy, 0, sentinel)
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            out = jnp.minimum(out, _shift_const(sy, dx, 1, sentinel))
-    return out
+    """3x3 min (separable, includes self) — the 8-neighbourhood min used
+    by the sweeps, which always re-min with self anyway."""
+    row = jnp.minimum(lab, jnp.minimum(_shift_const(lab, 1, 1, sentinel),
+                                       _shift_const(lab, -1, 1, sentinel)))
+    return jnp.minimum(row, jnp.minimum(_shift_const(row, 1, 0, sentinel),
+                                        _shift_const(row, -1, 0, sentinel)))
 
 
 def _ccl_sweeps(lab, fg, sentinel, sweeps):
     bg = 1 - fg
-    bg_t = jnp.transpose(bg)
     fg_t = jnp.transpose(fg)
+    bg_t = jnp.transpose(bg)
+    dist_f = _reset_distance(bg, 1, False)
+    dist_b = _reset_distance(bg, 1, True)
+    dist_tf = _reset_distance(bg_t, 1, False)
+    dist_tb = _reset_distance(bg_t, 1, True)
 
     def body(_, lab):
         lab = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
-        for reverse in (False, True):
-            lab = _seg_min_scan(lab, bg, 1, reverse, sentinel)
-            lab = jnp.where(fg > 0, lab, sentinel)
+        lab = _seg_min_scan(lab, dist_f, 1, False, sentinel)
+        lab = _seg_min_scan(lab, dist_b, 1, True, sentinel)
+        lab = jnp.where(fg > 0, lab, sentinel)
         # column scans as lane scans on the transpose (sublane shifts are
-        # far costlier than one MXU transpose round-trip)
+        # far costlier than one transpose round-trip)
         lab_t = jnp.transpose(lab)
-        for reverse in (False, True):
-            lab_t = _seg_min_scan(lab_t, bg_t, 1, reverse, sentinel)
-            lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
+        lab_t = _seg_min_scan(lab_t, dist_tf, 1, False, sentinel)
+        lab_t = _seg_min_scan(lab_t, dist_tb, 1, True, sentinel)
+        lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
         return jnp.transpose(lab_t)
 
     return jax.lax.fori_loop(0, sweeps, body, lab)
@@ -204,6 +222,10 @@ def _fill_holes_sweeps(fg, border, sweeps):
 
     bg_t = jnp.transpose(bg)
     fg_t = jnp.transpose(fg)
+    dist_f = _reset_distance(fg, 1, False)
+    dist_b = _reset_distance(fg, 1, True)
+    dist_tf = _reset_distance(fg_t, 1, False)
+    dist_tb = _reset_distance(fg_t, 1, True)
 
     def body(_, ext):
         grown = ext
@@ -211,11 +233,11 @@ def _fill_holes_sweeps(fg, border, sweeps):
             grown = grown | _shift_const(_shift_const(ext, dy, 0, 0),
                                          dx, 1, 0)
         ext = grown & bg
-        for reverse in (False, True):
-            ext = _seg_or_scan(ext, fg, 1, reverse) & bg
+        ext = _seg_or_scan(ext, dist_f, 1, False) & bg
+        ext = _seg_or_scan(ext, dist_b, 1, True) & bg
         ext_t = jnp.transpose(ext)
-        for reverse in (False, True):
-            ext_t = _seg_or_scan(ext_t, fg_t, 1, reverse) & bg_t
+        ext_t = _seg_or_scan(ext_t, dist_tf, 1, False) & bg_t
+        ext_t = _seg_or_scan(ext_t, dist_tb, 1, True) & bg_t
         return jnp.transpose(ext_t)
 
     ext = jax.lax.fori_loop(0, sweeps, body, bg * border)
@@ -351,7 +373,7 @@ def _make_stats_kernel(H, W, K):
             return sums, bboxes, bgsums
 
         sums, bboxes, bgsums = jax.lax.fori_loop(
-            0, K, slot_body,
+            0, jnp.minimum(n_blobs, K), slot_body,
             (jnp.zeros((N_SUMS, K), jnp.float32),
              jnp.zeros((4, K), jnp.int32),
              jnp.zeros((4, K), jnp.float32)))

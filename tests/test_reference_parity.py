@@ -1,0 +1,84 @@
+"""Direct parity against the reference implementation itself.
+
+Imports the actual reference package (read-only at /root/reference) and
+compares defect outputs on identical frames — the strongest parity
+evidence available.  Skipped when the reference checkout or its
+dependencies are absent.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "heimdall")),
+    reason="reference checkout not available")
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def ref_detector_cls():
+    sys.path.insert(0, REF)
+    try:
+        from heimdall.detectors.contamination_detector import (
+            ContaminationDetector as RefDetector)
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference import failed: {exc}")
+    finally:
+        sys.path.remove(REF)
+    return RefDetector
+
+
+def _frames():
+    sys.path.insert(0, "examples")
+    from test_contamination import add_artificial_contamination, make_bottle
+    out = [add_artificial_contamination(make_bottle(), seed=s)
+           for s in (1, 2, 3)]
+    for i in (1, 2, 3):
+        p = os.path.join(REF, f"contaminated_{i}.jpg")
+        if os.path.exists(p):
+            out.append(cv2.imread(p))
+    return out
+
+
+@pytest.mark.parametrize("config", [
+    {},  # reference defaults: min 10 / max 3000 / thr 15 / conf 0.25
+    {"min_contaminant_size": 3, "contrast_threshold": 25,
+     "min_confidence": 0.3},
+])
+def test_defect_parity_vs_reference(ref_detector_cls, config):
+    import logging
+    logging.disable(logging.CRITICAL)   # the reference logs per contour
+    try:
+        ref = ref_detector_cls(config=dict(config))
+        from heimdall_tpu.detectors.contamination_detector import (
+            ContaminationDetector)
+        mine = ContaminationDetector(config={**config,
+                                             "include_contours": False})
+        for img in _frames():
+            want = ref.detect(img.copy())
+            got = mine.detect(img.copy())
+            assert len(got) == len(want), (
+                f"count: got {[(d.position, d.size) for d in got]} "
+                f"want {[(d.position, d.size) for d in want]}")
+            unmatched = list(want)
+            for d in got:
+                match = None
+                for w in unmatched:
+                    if (abs(d.position[0] - w.position[0]) <= 1
+                            and abs(d.position[1] - w.position[1]) <= 1):
+                        match = w
+                        break
+                assert match is not None, f"no reference match for {d}"
+                unmatched.remove(match)
+                assert abs(d.size - match.size) <= 1.01
+                assert abs(d.confidence - match.confidence) <= 0.02
+                assert tuple(d.metadata["bounding_box"]) == \
+                    tuple(match.metadata["bounding_box"])
+    finally:
+        logging.disable(logging.NOTSET)
