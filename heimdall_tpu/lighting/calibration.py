@@ -187,6 +187,17 @@ class UniformityCalibrator:
         out = frame.astype(np.float32) * self.correction_map
         return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
+    def save(self, path: str) -> None:
+        """Persist the correction map (calibration artifact —
+        the checkpoint/resume surface of SURVEY.md §5)."""
+        if self.correction_map is None:
+            raise ValueError("no correction map built")
+        np.save(path, self.correction_map)
+
+    def load(self, path: str) -> np.ndarray:
+        self.correction_map = np.load(path)
+        return self.correction_map
+
     def apply_on_device(self, frames):
         """Device-side application: fused multiply on a [N, H, W(, C)]
         uint8 batch (the TPU-native path)."""

@@ -141,28 +141,33 @@ def _reset_distance(is_reset, axis, reverse):
     return idx - last
 
 
-def _seg_min_scan(v, dist, axis, reverse, sentinel):
-    """Segmented running-min along ``axis``; ``dist`` from
-    _reset_distance for the same direction."""
+def _seg_min_scan(v, blocked0, axis, reverse, sentinel):
+    """Segmented running-min along ``axis`` (blocked positions reset)."""
     size = v.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
     d = 1
     sgn = 1 if not reverse else -1
+    blocked = blocked0
     for _ in range(steps):
         vs = _shift_const(v, sgn * d, axis, sentinel)
-        v = jnp.where(dist < d, v, jnp.minimum(v, vs))
+        bs = _shift_const(blocked, sgn * d, axis, 1)
+        v = jnp.where(blocked > 0, v, jnp.minimum(v, vs))
+        blocked = blocked | bs
         d *= 2
     return v
 
 
-def _seg_or_scan(f, dist, axis, reverse):
+def _seg_or_scan(f, blocked0, axis, reverse):
     size = f.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
     d = 1
     sgn = 1 if not reverse else -1
+    blocked = blocked0
     for _ in range(steps):
         fs = _shift_const(f, sgn * d, axis, 0)
-        f = jnp.where(dist < d, f, f | fs)
+        bs = _shift_const(blocked, sgn * d, axis, 1)
+        f = jnp.where(blocked > 0, f, f | fs)
+        blocked = blocked | bs
         d *= 2
     return f
 
@@ -195,21 +200,17 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps):
     bg = 1 - fg
     fg_t = jnp.transpose(fg)
     bg_t = jnp.transpose(bg)
-    dist_f = _reset_distance(bg, 1, False)
-    dist_b = _reset_distance(bg, 1, True)
-    dist_tf = _reset_distance(bg_t, 1, False)
-    dist_tb = _reset_distance(bg_t, 1, True)
 
     def body(_, lab):
         lab = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
-        lab = _seg_min_scan(lab, dist_f, 1, False, sentinel)
-        lab = _seg_min_scan(lab, dist_b, 1, True, sentinel)
+        lab = _seg_min_scan(lab, bg, 1, False, sentinel)
+        lab = _seg_min_scan(lab, bg, 1, True, sentinel)
         lab = jnp.where(fg > 0, lab, sentinel)
         # column scans as lane scans on the transpose (sublane shifts are
         # far costlier than one transpose round-trip)
         lab_t = jnp.transpose(lab)
-        lab_t = _seg_min_scan(lab_t, dist_tf, 1, False, sentinel)
-        lab_t = _seg_min_scan(lab_t, dist_tb, 1, True, sentinel)
+        lab_t = _seg_min_scan(lab_t, bg_t, 1, False, sentinel)
+        lab_t = _seg_min_scan(lab_t, bg_t, 1, True, sentinel)
         lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
         return jnp.transpose(lab_t)
 
@@ -222,10 +223,6 @@ def _fill_holes_sweeps(fg, border, sweeps):
 
     bg_t = jnp.transpose(bg)
     fg_t = jnp.transpose(fg)
-    dist_f = _reset_distance(fg, 1, False)
-    dist_b = _reset_distance(fg, 1, True)
-    dist_tf = _reset_distance(fg_t, 1, False)
-    dist_tb = _reset_distance(fg_t, 1, True)
 
     def body(_, ext):
         grown = ext
@@ -233,11 +230,11 @@ def _fill_holes_sweeps(fg, border, sweeps):
             grown = grown | _shift_const(_shift_const(ext, dy, 0, 0),
                                          dx, 1, 0)
         ext = grown & bg
-        ext = _seg_or_scan(ext, dist_f, 1, False) & bg
-        ext = _seg_or_scan(ext, dist_b, 1, True) & bg
+        ext = _seg_or_scan(ext, fg, 1, False) & bg
+        ext = _seg_or_scan(ext, fg, 1, True) & bg
         ext_t = jnp.transpose(ext)
-        ext_t = _seg_or_scan(ext_t, dist_tf, 1, False) & bg_t
-        ext_t = _seg_or_scan(ext_t, dist_tb, 1, True) & bg_t
+        ext_t = _seg_or_scan(ext_t, fg_t, 1, False) & bg_t
+        ext_t = _seg_or_scan(ext_t, fg_t, 1, True) & bg_t
         return jnp.transpose(ext_t)
 
     ext = jax.lax.fori_loop(0, sweeps, body, bg * border)

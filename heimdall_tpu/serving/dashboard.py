@@ -92,6 +92,10 @@ class DashboardState:
             "defect_probability": 0.3,
             "batch_size": 4,
             "min_confidence": 0.3,
+            # like the reference's use_rust toggle (dashboard.py:453):
+            # route detection through the native C++ scalar path instead
+            # of the TPU inspector
+            "use_native": False,
             **(settings or {})}
         self.running = False
         self.latest: Dict[str, Any] = {}
@@ -147,7 +151,24 @@ class DashboardState:
                 time.sleep(0.05)
                 continue
             start = time.time()
-            results = inspector.inspect_batch(batch, with_images=False)
+            if self.settings.get("use_native"):
+                from heimdall_tpu import native_bridge
+
+                class _R:  # minimal result shim for the stats below
+                    def __init__(self, defects):
+                        self.defects = defects
+                        self.defect_count = len(defects)
+                results = []
+                for frame in batch:
+                    out = native_bridge.detect_contamination(frame)
+                    from heimdall_tpu.detectors.base import Defect
+                    results.append(_R([
+                        Defect(d["type"], tuple(d["position"]), d["size"],
+                               d["confidence"],
+                               {"bounding_box": d.get("bounding_box")})
+                        for d in out["defects"]]))
+            else:
+                results = inspector.inspect_batch(batch, with_images=False)
             elapsed = time.time() - start
             per_frame = elapsed / n
 
