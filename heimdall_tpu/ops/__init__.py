@@ -33,3 +33,4 @@ from heimdall_tpu.ops import ccl
 from heimdall_tpu.ops.ccl import connected_components, fill_holes
 from heimdall_tpu.ops.blobs import blob_stats, BlobTable
 from heimdall_tpu.ops.hough import hough_lines, hough_lines_p
+from heimdall_tpu.ops.demosaic import demosaic_bilinear, yuv422_to_bgr

@@ -190,3 +190,37 @@ class TestSystem:
         system.add_station("s", {"camera_id": "c"})
         assert system.remove_station("s")
         assert not system.remove_station("s")
+
+
+class TestSidewallPipeline:
+    def test_hough_lines_on_synthetic_edges(self):
+        from heimdall_tpu import ops
+        # a strong horizontal line of edge pixels
+        edges = np.zeros((100, 200), np.uint8)
+        edges[50, 20:180] = 255
+        rho, theta, votes, valid = ops.hough_lines(edges, threshold=80)
+        assert valid[0]
+        # horizontal line: theta ~ pi/2, rho ~ 50
+        assert abs(theta[0] - np.pi / 2) < 0.05
+        assert abs(abs(rho[0]) - 50) <= 1
+
+    def test_hough_lines_p_segments(self):
+        from heimdall_tpu import ops
+        edges = np.zeros((100, 200), np.uint8)
+        edges[50, 20:180] = 255
+        segs = ops.hough_lines_p(edges, threshold=80, min_line_length=50,
+                                 max_line_gap=5)
+        assert segs.shape[0] >= 1 and segs.shape[1:] == (1, 4)
+        x1, y1, x2, y2 = segs[0, 0]
+        assert abs(int(y1) - 50) <= 1 and abs(int(y2) - 50) <= 1
+        assert abs(int(x2) - int(x1)) > 100
+
+    def test_sidewall_pipeline_runs(self):
+        from heimdall_tpu.core.pipeline import PipelineFactory
+        pipe = PipelineFactory.create_pipeline("t", "sidewall")
+        img = np.full((100, 160, 3), 220, np.uint8)
+        img[30:70, 40] = 10   # vertical edge
+        img[30:70, 120] = 10
+        ctx = pipe.process(img)
+        assert ctx["success"]
+        assert "line_count" in ctx

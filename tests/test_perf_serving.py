@@ -126,7 +126,7 @@ class TestDashboard:
 
         status, body = self._post(server, "/api/start")
         assert json.loads(body)["running"] is True
-        deadline = time.time() + 30
+        deadline = time.time() + 90
         frames = 0
         while time.time() < deadline:
             stats = json.loads(self._get(server, "/api/stats")[1])
