@@ -134,19 +134,15 @@ class ContaminationDetector(DefectDetector):
         images = jnp.asarray(images)
         if (self.backend == "pallas" and not return_labels
                 and images.ndim == 4 and images.shape[-1] == 3):
-            from heimdall_tpu.ops.pallas_kernels import pallas_blob_table
-            table = pallas_blob_table(
+            from heimdall_tpu.ops.pallas_kernels import (
+                contamination_pallas_detect)
+            return contamination_pallas_detect(
                 images, int(self.contrast_threshold),
+                float(self.min_contaminant_size),
+                float(self.max_contaminant_size),
+                float(self.min_confidence),
                 max_blobs=self.max_blobs, use_color=self.use_color,
-                sweeps=max(self.ccl_sweeps, 1))
-            conf = (blobs_mod.confidence_native(table)
-                    if self.formula == "native"
-                    else blobs_mod.confidence_python(table))
-            accepted = (table.valid
-                        & (table.area >= self.min_contaminant_size)
-                        & (table.area <= self.max_contaminant_size)
-                        & (conf >= self.min_confidence))
-            return table, conf, accepted
+                formula=self.formula, sweeps=max(self.ccl_sweeps, 1))
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),

@@ -518,3 +518,32 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
         x=x0, y=y0, w=w, h=h,
         intensity_diff=intensity_diff, intensity_score=intensity_score,
         shape_score=shape_score, color_score=color_score, n_blobs=n_blobs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_blobs", "use_color",
+                                             "formula", "sweeps",
+                                             "interpret"))
+def contamination_pallas_detect(frames, contrast_threshold, min_size,
+                                max_size, min_confidence,
+                                max_blobs: int = 64, use_color: bool = True,
+                                formula: str = "python", sweeps: int = 6,
+                                interpret: bool = False):
+    """One-dispatch detection: fused kernels + confidence + gating.
+
+    Returns (BlobTable, confidence [B,K], accepted [B,K]) — the same
+    contract as detectors.contamination_detector.contamination_program,
+    with everything in a single XLA program so a pipelined driver pays one
+    dispatch per batch.
+    """
+    from heimdall_tpu.ops import blobs as blobs_mod
+
+    table = pallas_blob_table(frames, contrast_threshold,
+                              max_blobs=max_blobs, use_color=use_color,
+                              sweeps=sweeps, interpret=interpret)
+    conf = (blobs_mod.confidence_native(table) if formula == "native"
+            else blobs_mod.confidence_python(table))
+    accepted = (table.valid
+                & (table.area >= jnp.float32(min_size))
+                & (table.area <= jnp.float32(max_size))
+                & (conf >= jnp.float32(min_confidence)))
+    return table, conf, accepted
