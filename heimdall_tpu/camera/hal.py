@@ -190,14 +190,21 @@ class SimulatedCamera(Camera):
 
     def _synthesize(self) -> np.ndarray:
         h, w = self.height, self.width
-        img = np.zeros((h, w), np.uint8)
-        tile = 32
-        yy = (np.arange(h) // tile)[:, None]
-        xx = (np.arange(w) // tile)[None, :]
-        img[(yy + xx) % 2 == 0] = 200
-        img[(yy + xx) % 2 == 1] = 60
-        # bottle region
-        img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
+        pattern = self.config.get("pattern", "checker")
+        if pattern == "bottle":
+            # calm production-like scene: gentle gradient + bright bottle
+            img = (96 + (64 * np.arange(h)[:, None]) // h
+                   ).astype(np.uint8).repeat(w, axis=1)
+            img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
+        else:
+            # high-contrast checkerboard (reference simulator.rs scene)
+            img = np.zeros((h, w), np.uint8)
+            tile = 32
+            yy = (np.arange(h) // tile)[:, None]
+            xx = (np.arange(w) // tile)[None, :]
+            img[(yy + xx) % 2 == 0] = 200
+            img[(yy + xx) % 2 == 1] = 60
+            img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
         if self.frame_counter % 5 == 4:  # deterministic defect
             cy, cx = h // 2, w // 2
             yy2, xx2 = np.ogrid[:h, :w]

@@ -132,7 +132,13 @@ class ContaminationDetector(DefectDetector):
         """Run the jitted program on a [N, H, W, C] batch; returns device
         arrays without host sync (compose with other device work)."""
         images = jnp.asarray(images)
-        if (self.backend == "pallas" and not return_labels
+        # The fused kernels keep whole frames in VMEM; beyond ~0.5 MP the
+        # working set exceeds the ~16 MB budget, so large frames (e.g. the
+        # reference's 1920x1080 Mono8 cameras) take the HBM-resident XLA
+        # path automatically.
+        fits_vmem = (images.shape[-3] * images.shape[-2] <= 400_000
+                     if images.ndim >= 3 else False)
+        if (self.backend == "pallas" and not return_labels and fits_vmem
                 and images.ndim == 4 and images.shape[-1] == 3):
             from heimdall_tpu.ops.pallas_kernels import (
                 contamination_pallas_detect)

@@ -171,3 +171,19 @@ class TestMainCLI:
         monkeypatch.chdir(tmp_path)
         from heimdall_tpu.main import main
         assert main(["-s", "--duration", "3"]) == 0
+
+
+class TestLineSimulation:
+    def test_line_simulation_runs(self):
+        """BASELINE config #5 smoke: 4-camera line sim end-to-end.
+
+        The 90k BPH gate is a TPU measurement (bench.py shows ~530 fps =
+        ~480k BPH at 4 views/bottle); this CPU-backend test only checks
+        the loop runs and produces sane statistics."""
+        sys.path.insert(0, "examples")
+        import line_simulation
+        bph, p99_ms = line_simulation.main(duration_s=4.0,
+                                           sets_per_batch=4,
+                                           width=320, height=240)
+        assert bph > 1000
+        assert p99_ms > 0
