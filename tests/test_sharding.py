@@ -81,3 +81,16 @@ def test_mesh_info():
     info = mesh_info(mesh)
     assert info["axis_names"] == ["data", "spatial"]
     assert info["n_devices"] == len(jax.devices())
+
+
+class TestMultihost:
+    def test_single_process_helpers(self):
+        """multihost helpers degrade to plain device_put single-process."""
+        from heimdall_tpu.parallel import multihost
+        multihost.initialize()          # no-op
+        mesh = multihost.global_mesh(data=-1, spatial=1)
+        frames = np.zeros((len(jax.devices()) * 2, 16, 32, 3), np.uint8)
+        arr = multihost.host_batch_to_global(mesh, frames)
+        assert arr.shape == frames.shape
+        totals = multihost.line_totals({"frames": 10, "defects": 2})
+        assert totals == {"frames": 10, "defects": 2}
