@@ -72,11 +72,21 @@ def main():
         table, conf, accepted = det.run_device(x)
         return accepted, conf
 
-    # warmup / compile
+    # warmup / compile (fall back to the XLA backend if the Mosaic
+    # toolchain is unavailable in this environment)
     t0 = time.perf_counter()
     x_dev = jax.device_put(frames, dev)
-    acc, _ = run(x_dev)
-    acc = jax.device_get(acc)
+    try:
+        acc, _ = run(x_dev)
+        acc = jax.device_get(acc)
+    except Exception as exc:  # noqa: BLE001
+        log(f"{backend} backend failed ({str(exc)[:200]}); "
+            f"falling back to xla")
+        backend = "xla"
+        det = ContaminationDetector(config={
+            "backend": backend, "include_contours": False})
+        acc, _ = run(x_dev)
+        acc = jax.device_get(acc)
     log(f"compile+first batch: {time.perf_counter()-t0:.2f}s; "
         f"defects in batch: {int(acc.sum())}")
 

@@ -224,3 +224,18 @@ class TestSidewallPipeline:
         ctx = pipe.process(img)
         assert ctx["success"]
         assert "line_count" in ctx
+
+
+class TestInstrumentedPipeline:
+    def test_per_stage_timings(self):
+        from heimdall_tpu.core.pipeline import Pipeline
+        pipe = PipelineFactory.create_pipeline(
+            "t", "contamination", {"instrumented": True})
+        img = np.full((48, 64, 3), 200, np.uint8)
+        ctx = pipe.process(img)
+        assert ctx["success"]
+        # instrumented mode: each stage individually timed (reference
+        # context protocol, pipeline.py:47-54)
+        assert set(ctx["stage_times"]) == {
+            "grayscale", "blur", "threshold", "morphology"}
+        assert all(t >= 0 for t in ctx["stage_times"].values())

@@ -67,3 +67,50 @@ def test_pallas_grayscale_input_rejected():
     with pytest.raises(Exception):
         pallas_blob_table(frames, 15,
                           interpret=jax.default_backend() == "cpu")
+
+
+@pytest.mark.parametrize("h,w", [(48, 96), (64, 100), (56, 72)])
+def test_pallas_odd_sizes(h, w):
+    """Non-lane-aligned frame sizes still match the XLA path."""
+    interpret = jax.default_backend() == "cpu"
+    frames = jnp.asarray(_frames(n=1, h=h, w=w, seed=5))
+    t_pl = pallas_blob_table(frames, 15, max_blobs=16, sweeps=6,
+                             interpret=interpret)
+    t_xla, _, _ = contamination_program(
+        frames, jnp.int32(15), jnp.float32(0.0), jnp.float32(1e9),
+        jnp.float32(0.0), max_blobs=16, ccl_sweeps=6)
+    np.testing.assert_array_equal(np.asarray(t_pl.area_px),
+                                  np.asarray(t_xla.area_px))
+    np.testing.assert_array_equal(np.asarray(t_pl.x), np.asarray(t_xla.x))
+
+
+def test_detector_pallas_backend_matches_xla():
+    """ContaminationDetector(backend=pallas) == backend=xla defect lists."""
+    from heimdall_tpu.detectors.contamination_detector import (
+        ContaminationDetector)
+    frames = _frames(n=2, h=64, w=128, seed=3)
+    kwargs = {"include_contours": False, "min_contaminant_size": 3}
+    det_x = ContaminationDetector(config={**kwargs, "backend": "xla"})
+    if jax.default_backend() == "cpu":
+        import heimdall_tpu.ops.pallas_kernels as pk
+        orig = pk.contamination_pallas
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+        pk.contamination_pallas = interp
+        try:
+            det_p = ContaminationDetector(
+                config={**kwargs, "backend": "pallas"})
+            got_p = det_p.detect_batch(frames)
+        finally:
+            pk.contamination_pallas = orig
+    else:
+        det_p = ContaminationDetector(config={**kwargs, "backend": "pallas"})
+        got_p = det_p.detect_batch(frames)
+    got_x = det_x.detect_batch(frames)
+    for a, b in zip(got_p, got_x):
+        assert len(a) == len(b)
+        for da, db in zip(a, b):
+            assert da.position == db.position
+            assert abs(da.confidence - db.confidence) < 1e-4
