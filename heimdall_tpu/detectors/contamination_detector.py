@@ -112,6 +112,10 @@ class ContaminationDetector(DefectDetector):
         self.max_blobs = self.config.get("max_blobs", 64)
         self.formula = self.config.get("confidence_formula", "python")
         self.include_contours = self.config.get("include_contours", True)
+        # exact_geometry replaces the device approximations (Pick's-theorem
+        # area, pixel centroid) with bit-exact polygon geometry traced
+        # host-side per accepted blob, and re-applies gates with it.
+        self.exact_geometry = self.config.get("exact_geometry", False)
         # Fixed propagation sweeps (0 = loop to fixpoint).  6 resolves
         # every shape in the parity suite including JPEG-noise blobs (which
         # need 5); raise or set 0 for pathological mask geometry.
@@ -171,7 +175,7 @@ class ContaminationDetector(DefectDetector):
                      context: Dict[str, Any] = None) -> List[List[Defect]]:
         """Batched detection: one device program for the whole batch."""
         images = np.asarray(images)
-        want_contours = self.include_contours and (
+        want_contours = (self.include_contours or self.exact_geometry) and (
             context is None or context.get("include_contours", True))
         out = self.run_device(images, return_labels=want_contours)
         if want_contours:
@@ -186,29 +190,65 @@ class ContaminationDetector(DefectDetector):
 
     def _table_to_defects(self, table, conf, accepted,
                           labels: Optional[np.ndarray]) -> List[List[Defect]]:
+        exact = self.exact_geometry and labels is not None
         results: List[List[Defect]] = []
         n = accepted.shape[0]
+        valid = np.asarray(table.valid)
         for i in range(n):
             defects: List[Defect] = []
-            for k in np.nonzero(accepted[i])[0]:
+            # In exact mode re-gate over all valid blobs with the bit-exact
+            # polygon area (a Pick's-theorem blob within 1 px^2 of a gate
+            # boundary can flip accept/reject versus the reference).
+            candidates = np.nonzero(valid[i] if exact else accepted[i])[0]
+            for k in candidates:
                 bbox = (int(table.x[i][k]), int(table.y[i][k]),
                         int(table.w[i][k]), int(table.h[i][k]))
+                position = (int(table.cx[i][k]), int(table.cy[i][k]))
+                area = float(table.area[i][k])
+                confidence = float(conf[i][k])
+                shape_score = float(table.shape_score[i][k])
+                pts = None
+                if exact:
+                    from heimdall_tpu.core.pipeline import _label_of_blob
+                    geom = contours_mod.exact_blob_geometry(
+                        labels[i], _label_of_blob(labels[i], bbox), bbox)
+                    area = geom["area"]
+                    position = geom["position"]
+                    pts = geom["contour"]
+                    if not (self.min_contaminant_size <= area
+                            <= self.max_contaminant_size):
+                        continue
+                    rect_area = bbox[2] * bbox[3]
+                    shape_score = 1.0 - (area / rect_area
+                                         if rect_area > 0 else 0.0)
+                    if self.formula == "native":
+                        confidence = (0.7 * float(
+                            table.intensity_score[i][k])
+                            + 0.3 * shape_score)
+                    else:
+                        confidence = (0.5 * float(
+                            table.intensity_score[i][k])
+                            + 0.2 * shape_score
+                            + 0.3 * float(table.color_score[i][k]))
+                    if confidence < self.min_confidence:
+                        continue
                 metadata: Dict[str, Any] = {
                     "intensity_diff": float(table.intensity_diff[i][k]),
-                    "shape_score": float(table.shape_score[i][k]),
+                    "shape_score": shape_score,
                     "color_score": float(table.color_score[i][k]),
                     "bounding_box": bbox,
                 }
-                if labels is not None:
-                    from heimdall_tpu.core.pipeline import _label_of_blob
-                    pts = contours_mod.blob_contour(
-                        labels[i], _label_of_blob(labels[i], bbox), bbox)
+                if labels is not None and self.include_contours:
+                    if pts is None:
+                        from heimdall_tpu.core.pipeline import _label_of_blob
+                        pts = contours_mod.blob_contour(
+                            labels[i], _label_of_blob(labels[i], bbox), bbox)
                     metadata["contour"] = pts.tolist()
                 defects.append(Defect(
                     defect_type="contamination",
-                    position=(int(table.cx[i][k]), int(table.cy[i][k])),
-                    size=float(table.area[i][k]),
-                    confidence=float(conf[i][k]),
+                    position=position,
+                    size=area,
+                    confidence=confidence,
                     metadata=metadata))
             results.append(defects)
         return results

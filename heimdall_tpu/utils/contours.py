@@ -104,3 +104,59 @@ def blob_contour(labels: np.ndarray, label_value: int,
         pts = simplify_chain(pts)
     pts = pts + np.asarray([x, y], np.int32)
     return pts.reshape(-1, 1, 2)
+
+
+def polygon_area(points: np.ndarray) -> float:
+    """Green's-formula area of a closed contour — exactly
+    cv2.contourArea's definition (points [N, 2] or [N, 1, 2])."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(abs(np.dot(x, y2) - np.dot(x2, y)) / 2.0)
+
+
+def polygon_moments(points: np.ndarray):
+    """(m00, m10, m01) polygon moments — cv2.moments on a contour.
+
+    Signed Green's-formula moments, matching OpenCV's contour-moment
+    definitions, so ``int(m10/m00), int(m01/m00)`` reproduces the
+    reference's centroid truncation exactly.
+    """
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        if len(pts) == 0:
+            return 0.0, 0.0, 0.0
+        return 0.0, float(pts[:, 0].mean()), float(pts[:, 1].mean())
+    x, y = pts[:, 0], pts[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    m00 = cross.sum() / 2.0
+    m10 = (cross * (x + x2)).sum() / 6.0
+    m01 = (cross * (y + y2)).sum() / 6.0
+    if m00 < 0:
+        m00, m10, m01 = -m00, -m10, -m01
+    return float(m00), float(m10), float(m01)
+
+
+def exact_blob_geometry(labels: np.ndarray, label_value: int,
+                        bbox) -> dict:
+    """Bit-exact cv2 contour geometry for one blob: area (contourArea),
+    centroid (moment truncation), and the traced contour itself.
+
+    Used by the detector's ``exact_geometry`` option to replace the device
+    approximations (Pick's-theorem area, pixel centroid) for the few blobs
+    that pass gating — closing the last documented parity deviations at
+    the cost of one host-side boundary trace per accepted blob.
+    """
+    pts = blob_contour(labels, label_value, bbox, simplify=False)
+    m00, m10, m01 = polygon_moments(pts)
+    area = polygon_area(pts)
+    if m00 > 0:
+        cx, cy = int(m10 / m00), int(m01 / m00)
+    else:
+        flat = pts.reshape(-1, 2)
+        cx = int(flat[:, 0].mean()) if len(flat) else 0
+        cy = int(flat[:, 1].mean()) if len(flat) else 0
+    return {"area": area, "position": (cx, cy), "contour": pts}

@@ -190,3 +190,36 @@ class TestDetectorParity:
             x, y, w, h = d.metadata["bounding_box"]
             assert (pts[..., 0] >= x).all() and (pts[..., 0] < x + w).all()
             assert (pts[..., 1] >= y).all() and (pts[..., 1] < y + h).all()
+
+
+class TestExactGeometry:
+    def test_polygon_helpers_match_cv2(self):
+        from heimdall_tpu.utils import contours as cm
+        img = np.zeros((80, 120), np.uint8)
+        cv2.circle(img, (40, 40), 13, 255, -1)
+        cv2.ellipse(img, (85, 45), (18, 9), 20, 0, 360, 255, -1)
+        found, _ = cv2.findContours(img, cv2.RETR_EXTERNAL,
+                                    cv2.CHAIN_APPROX_NONE)
+        for c in found:
+            want_area = cv2.contourArea(c)
+            M = cv2.moments(c)
+            got_area = cm.polygon_area(c)
+            m00, m10, m01 = cm.polygon_moments(c)
+            assert got_area == pytest.approx(want_area)
+            assert m00 == pytest.approx(abs(M["m00"]))
+            assert int(m10 / m00) == int(M["m10"] / M["m00"])
+            assert int(m01 / m00) == int(M["m01"] / M["m00"])
+
+    def test_exact_mode_bitexact_vs_oracle(self):
+        """exact_geometry: size/position match cv2 EXACTLY (no tolerance)
+        on the synthetic corpus."""
+        det = ContaminationDetector(config={"include_contours": False,
+                                            "exact_geometry": True})
+        for seed in range(4):
+            img = make_contaminated_bottle(seed)
+            got = det.detect(img)
+            want = cv2_oracle(img)
+            assert len(got) == len(want)
+            got_s = sorted((d.position, d.size) for d in got)
+            want_s = sorted((o["pos"], o["area"]) for o in want)
+            assert got_s == want_s, (got_s, want_s)
