@@ -7,4 +7,6 @@ from heimdall_tpu.parallel.sharding import (
 from heimdall_tpu.parallel.inspect_step import (
     make_sharded_inspection_step,
     make_line_step,
+    make_pallas_data_parallel_step,
 )
+from heimdall_tpu.parallel import multihost

@@ -283,3 +283,52 @@ def make_line_step(mesh: Mesh, max_blobs: int = 64, use_color: bool = True):
         return table, conf, accepted, stats
 
     return step
+
+
+def make_pallas_data_parallel_step(mesh: Mesh, max_blobs: int = 64,
+                                   use_color: bool = True,
+                                   formula: str = "python",
+                                   sweeps: int = 6,
+                                   interpret: bool = False):
+    """Data-parallel multi-chip step over the FUSED Pallas kernels.
+
+    The fused kernels keep whole frames in VMEM, so they shard over the
+    "data" axis only (each chip labels its own frames; no spatial split).
+    shard_map runs the per-chip Pallas pipeline; the outputs come back
+    sharded P("data") with zero collectives — the pure-throughput layout
+    for production lines whose frames fit VMEM.
+
+    Input frames must be [N, H, W, 3] with N divisible by the total device
+    count; place them with ``shard_batch(mesh, frames, spatial=False)``.
+    """
+    from heimdall_tpu.ops.pallas_kernels import contamination_pallas_detect
+
+    n_total = mesh.shape["data"] * mesh.shape["spatial"]
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("data_all",))
+
+    def local_step(frames, ct, mins, maxs, minc):
+        return contamination_pallas_detect(
+            frames, ct, mins, maxs, minc, max_blobs=max_blobs,
+            use_color=use_color, formula=formula, sweeps=sweeps,
+            interpret=interpret)
+
+    sharded = shard_map(
+        local_step, mesh=flat_mesh,
+        in_specs=(P("data_all"), P(), P(), P(), P()),
+        out_specs=(jax.tree.map(lambda _: P("data_all"),
+                                _blob_table_structure(max_blobs)),
+                   P("data_all"), P("data_all")),
+        check_vma=False)
+
+    @jax.jit
+    def step(frames, contrast, min_size, max_size, min_conf):
+        return sharded(frames, jnp.int32(contrast), jnp.float32(min_size),
+                       jnp.float32(max_size), jnp.float32(min_conf))
+
+    return step
+
+
+def _blob_table_structure(max_blobs):
+    """A BlobTable pytree skeleton for building out_specs."""
+    from heimdall_tpu.ops.blobs import BlobTable
+    return BlobTable(*([0] * len(BlobTable._fields)))

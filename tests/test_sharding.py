@@ -94,3 +94,25 @@ class TestMultihost:
         assert arr.shape == frames.shape
         totals = multihost.line_totals({"frames": 10, "defects": 2})
         assert totals == {"frames": 10, "defects": 2}
+
+
+@needs_8
+def test_pallas_data_parallel_step():
+    """The fused-Pallas dp step shards over all devices and matches the
+    single-device fused path (interpret mode on the CPU mesh)."""
+    from heimdall_tpu.parallel.inspect_step import (
+        make_pallas_data_parallel_step)
+    from heimdall_tpu.ops.pallas_kernels import pallas_blob_table
+    mesh = make_mesh(data=8, spatial=1)
+    n = 16
+    frames = _frames(n, 48, 64, seed=5)
+    step = make_pallas_data_parallel_step(mesh, max_blobs=16,
+                                          interpret=True)
+    table, conf, accepted = step(
+        shard_batch(mesh, frames, spatial=False), 15, 0.0, 1e9, 0.0)
+    ref = pallas_blob_table(jnp.asarray(frames), 15, max_blobs=16,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(table.area_px),
+                                  np.asarray(ref.area_px))
+    np.testing.assert_array_equal(np.asarray(table.x), np.asarray(ref.x))
+    assert accepted.shape == (n, 16)
