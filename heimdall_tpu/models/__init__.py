@@ -4,3 +4,4 @@ from heimdall_tpu.models.defect_classifier import (
     make_sharded_train_step,
     extract_blob_patches,
 )
+from heimdall_tpu.models.anomaly import AnomalyDetector

@@ -226,3 +226,26 @@ class TestModels:
         patches = extract_blob_patches(img, table)
         assert patches.shape[1:] == (32, 32, 1)
         assert len(patches) >= 1
+
+
+class TestAnomalyModel:
+    def test_detects_injected_anomaly(self):
+        pytest.importorskip("flax")
+        from heimdall_tpu.models.anomaly import AnomalyDetector
+        rng = np.random.RandomState(0)
+        # good frames: smooth gradient + mild noise
+        base = np.clip(
+            np.linspace(100, 180, 128)[None, :, None].repeat(128, 2)
+            .transpose(0, 2, 1), 0, 255)
+        good = np.clip(base + rng.randn(24, 128, 128) * 3, 0,
+                       255).astype(np.uint8)
+        det = AnomalyDetector()
+        det.fit(good[:16], epochs=16, batch_size=32)
+        # anomalous frame: big dark blotch
+        bad = good[16].copy()
+        bad[40:90, 40:90] = 10
+        scores_good = det.score(good[16:20])
+        score_bad = det.score(bad[None])[0]
+        assert score_bad > scores_good.max() * 2
+        flags = det.is_anomalous(np.stack([good[17], bad]))
+        assert not flags[0] and flags[1]
