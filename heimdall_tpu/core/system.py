@@ -46,8 +46,34 @@ class InspectionStation:
         self.camera_config = system_config.get_camera_config(camera_id)
         self.image_source = ImageSourceFactory.create_source(
             camera_id, self.camera_config)
-        self.pipeline = PipelineFactory.create_pipeline(
-            f"{station_id}_pipeline", pipeline_type, config)
+
+        # Two station modes: "pipeline" (the reference's behavior —
+        # system.py:37-41) runs a processing pipeline; "inspector" runs a
+        # full Inspector (pipeline + detectors + verdicts) and drives the
+        # PLC rejection hardware (the reference left _handle_rejection a
+        # log stub — system.py:152-160).
+        self.inspector = None
+        self.rejector = None
+        inspector_type = config.get("inspector")
+        if inspector_type:
+            from heimdall_tpu.inspection.contamination_inspector import (
+                ContaminationInspector)
+            inspectors = {"contamination": ContaminationInspector}
+            cls = inspectors.get(inspector_type)
+            if cls is None:
+                raise ValueError(f"unknown inspector: {inspector_type}")
+            self.inspector = cls(f"{station_id}_inspector",
+                                 config.get("inspector_config", {}))
+            self.pipeline = self.inspector.pipeline
+            if config.get("reject", False):
+                from heimdall_tpu.runtime.plc import RejectionController
+                comm = system_config.get("communication.rejection", {})
+                self.rejector = RejectionController(
+                    delay_ms=comm.get("delay_ms", 100),
+                    pulse_duration_ms=comm.get("pulse_duration_ms", 50))
+        else:
+            self.pipeline = PipelineFactory.create_pipeline(
+                f"{station_id}_pipeline", pipeline_type, config)
 
         self.running = False
         self.last_result: Optional[Dict[str, Any]] = None
@@ -102,7 +128,22 @@ class InspectionStation:
                 continue
 
             start_time = time.time()
-            result = self.pipeline.process_batch(batch)
+            if self.inspector is not None:
+                inspections = self.inspector.inspect_batch(batch)
+                defect_count = sum(r.defect_count for r in inspections)
+                worst = max((d.confidence for r in inspections
+                             for d in r.defects), default=0.0)
+                result = {
+                    "success": all(r.success for r in inspections),
+                    "defect_count": defect_count,
+                    "defects_detected": defect_count > 0,
+                    "worst_confidence": worst,
+                    "results": [r.to_dict() for r in inspections],
+                }
+            else:
+                result = self.pipeline.process_batch(batch)
+                defect_count = int(result.get("contour_count", 0) or 0)
+                result["defects_detected"] = defect_count > 0
             processing_time = time.time() - start_time
 
             self.frames_processed += count
@@ -113,15 +154,13 @@ class InspectionStation:
                 self.avg_processing_time = (
                     0.9 * self.avg_processing_time + 0.1 * per_frame)
 
-            defect_count = int(result.get("contour_count", 0) or 0)
             if defect_count:
                 self.defects_detected += defect_count
-                result["defects_detected"] = True
             result["timestamp"] = time.time()
             self.last_result = result
 
             if result.get("defects_detected", False) and \
-                    "reject" in self.config:
+                    self.config.get("reject", False):
                 self._handle_rejection(result)
 
             rate_limit = self.config.get("rate_limit_ms", 0)
@@ -134,13 +173,22 @@ class InspectionStation:
                          self.station_id)
 
     def _handle_rejection(self, result: Dict[str, Any]) -> None:
-        """Rejection hook — interfaces with the PLC / rejection hardware.
-
-        Like the reference (system.py:152-160) this logs; real hardware
-        plugs in via runtime.plc.RejectionController.
-        """
-        self.logger.info("Bottle with defects rejected at station %s",
-                         self.station_id)
+        """Rejection hook: fire the PLC pulse when a rejector is wired,
+        else log (the reference's behavior, system.py:152-160)."""
+        rejection_threshold = self.config.get(
+            "rejection_threshold",
+            self.system_config.get("inspection.default.rejection_threshold",
+                                   0.7))
+        confidence = result.get("worst_confidence", 1.0)
+        if self.rejector is not None:
+            if confidence >= rejection_threshold:
+                self.rejector.reject(self.station_id, confidence)
+                self.logger.info(
+                    "Reject pulse scheduled at station %s (conf %.2f)",
+                    self.station_id, confidence)
+        else:
+            self.logger.info("Bottle with defects rejected at station %s",
+                             self.station_id)
 
     def get_status(self) -> Dict[str, Any]:
         return {

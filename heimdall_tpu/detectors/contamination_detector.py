@@ -136,6 +136,10 @@ class ContaminationDetector(DefectDetector):
         """Run the jitted program on a [N, H, W, C] batch; returns device
         arrays without host sync (compose with other device work)."""
         images = jnp.asarray(images)
+        if images.dtype == jnp.uint16:
+            # Mono10/12/16 cameras: use the high byte (the reference's
+            # pipeline operates on 8-bit data throughout)
+            images = (images >> 8).astype(jnp.uint8)
         # The fused kernels keep whole frames in VMEM; beyond ~0.5 MP the
         # working set exceeds the ~16 MB budget, so large frames (e.g. the
         # reference's 1920x1080 Mono8 cameras) take the HBM-resident XLA

@@ -239,3 +239,41 @@ class TestInstrumentedPipeline:
         assert set(ctx["stage_times"]) == {
             "grayscale", "blur", "threshold", "morphology"}
         assert all(t >= 0 for t in ctx["stage_times"].values())
+
+
+class TestInspectorStation:
+    def test_station_with_inspector_and_rejection(self):
+        import time
+        system = System()
+        system.config.add_camera("cam_i", {
+            "type": "simulation", "width": 96, "height": 64, "seed": 9,
+            "defect_probability": 1.0})
+        system.add_station("insp", {
+            "camera_id": "cam_i",
+            "inspector": "contamination",
+            "inspector_config": {"contamination_detector_config": {
+                "min_contaminant_size": 3, "contrast_threshold": 25,
+                "min_confidence": 0.1, "include_contours": False}},
+            "reject": True,
+            "rejection_threshold": 0.1,
+            "batch_size": 2})
+        station = system.stations["insp"]
+        assert station.inspector is not None
+        assert station.rejector is not None
+        system.start()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if station.defects_detected > 0:
+                break
+            time.sleep(0.2)
+        system.stop()
+        assert station.frames_processed > 0
+        assert station.defects_detected > 0
+        assert station.rejector.stats()["scheduled"] > 0
+
+    def test_unknown_inspector_raises(self):
+        system = System()
+        system.config.add_camera("c", {"type": "simulation"})
+        with pytest.raises(ValueError):
+            system.add_station("bad", {"camera_id": "c",
+                                       "inspector": "nope"})

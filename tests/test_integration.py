@@ -131,6 +131,8 @@ class TestExamples:
     @pytest.mark.parametrize("script", [
         "examples/camera_capture.py",
         "examples/gige_bottle_inspection.py",
+        "examples/test_basic.py",
+        "examples/performance_analysis.py",
     ])
     def test_example_runs(self, script):
         proc = subprocess.run(
