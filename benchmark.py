@@ -94,12 +94,36 @@ def benchmark_image_processing(iterations: int, image: np.ndarray) -> None:
         print(f"{ptype:>14s}: {ms:8.2f} ms/frame")
 
 
+def benchmark_acquisition(iterations: int) -> None:
+    """Per-SyncMode multi-camera acquisition timing (the reference's
+    criterion scenarios, gige/benches/acquisition_bench.rs:11-88)."""
+    print("=== acquisition (4 simulated cameras) ===")
+    from heimdall_tpu.camera.gige import GigESystem, SyncMode
+    for mode in (SyncMode.SOFTWARE, SyncMode.HARDWARE, SyncMode.FREERUN):
+        system = GigESystem(backend="simulator", sync_mode=mode)
+        for i in range(4):
+            system.add_camera(f"cam_{i}", {"width": 640, "height": 480,
+                                           "fps": 10_000,
+                                           "pattern": "bottle"})
+        system.configure()
+        system.start()
+        system.acquire_frames(timeout_s=5.0)  # warm
+        start = time.time()
+        for _ in range(iterations):
+            system.acquire_frames(timeout_s=5.0)
+        ms = (time.time() - start) / iterations * 1000
+        system.stop()
+        print(f"{mode:>10s}: {ms:8.2f} ms/frameset "
+              f"({'PASS' if ms <= 5.0 else 'over'} the 5 ms gate)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Heimdall TPU A/B benchmark")
     parser.add_argument("-i", "--iterations", type=int, default=10)
-    parser.add_argument("-t", "--test", choices=["detection", "processing",
-                                                 "all"], default="all")
+    parser.add_argument("-t", "--test",
+                        choices=["detection", "processing", "acquisition",
+                                 "all"], default="all")
     parser.add_argument("-f", "--file", type=str,
                         help="benchmark this image instead of synthetic")
     parser.add_argument("-b", "--batch", type=int, default=8)
@@ -119,6 +143,8 @@ def main(argv=None):
                                           args.batch)
     if args.test in ("processing", "all"):
         benchmark_image_processing(args.iterations, image)
+    if args.test in ("acquisition", "all"):
+        benchmark_acquisition(args.iterations)
     return 0
 
 

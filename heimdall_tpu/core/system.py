@@ -54,6 +54,7 @@ class InspectionStation:
         # log stub — system.py:152-160).
         self.inspector = None
         self.rejector = None
+        self.repository = None
         inspector_type = config.get("inspector")
         if inspector_type:
             from heimdall_tpu.inspection.contamination_inspector import (
@@ -65,6 +66,12 @@ class InspectionStation:
             self.inspector = cls(f"{station_id}_inspector",
                                  config.get("inspector_config", {}))
             self.pipeline = self.inspector.pipeline
+            if config.get("save_results", False) or \
+                    config.get("save_images", False):
+                from heimdall_tpu.core.results import ResultRepository
+                self.repository = ResultRepository(
+                    system_config.get("paths.results", "./results"),
+                    save_images=config.get("save_images", False))
             if config.get("reject", False):
                 from heimdall_tpu.runtime.plc import RejectionController
                 comm = system_config.get("communication.rejection", {})
@@ -129,7 +136,12 @@ class InspectionStation:
 
             start_time = time.time()
             if self.inspector is not None:
-                inspections = self.inspector.inspect_batch(batch)
+                inspections = self.inspector.inspect_batch(
+                    batch, with_images=self.config.get("save_images",
+                                                       False))
+                if self.repository is not None:
+                    for r in inspections:
+                        self.repository.store(r)
                 defect_count = sum(r.defect_count for r in inspections)
                 worst = max((d.confidence for r in inspections
                              for d in r.defects), default=0.0)

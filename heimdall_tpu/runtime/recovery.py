@@ -11,6 +11,7 @@ fault-injection helpers used by the fakes and the test-suite.
 import enum
 import logging
 import random
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
@@ -145,3 +146,105 @@ class FaultInjector:
                    message: str = "injected fault") -> None:
         if self._rng.random() < self.failure_probability:
             raise exc_factory(message)
+
+
+class CircuitBreakerOpen(HeimdallError):
+    category = ErrorCategory.PERMANENT
+
+
+class CircuitBreaker:
+    """Closed → open → half-open circuit breaker.
+
+    The reference designed (but never built) this in
+    docs/architecture_design.md:784-831: after ``failure_threshold``
+    consecutive failures the circuit opens and calls fail fast for
+    ``reset_timeout_s``; then one probe call is allowed (half-open) and
+    success re-closes the circuit.
+    """
+
+    def __init__(self, failure_threshold: int = 5,
+                 reset_timeout_s: float = 30.0, name: str = "breaker"):
+        self.failure_threshold = failure_threshold
+        self.reset_timeout_s = reset_timeout_s
+        self.name = name
+        self.state = "closed"
+        self.consecutive_failures = 0
+        self._opened_at = 0.0
+        self._lock = threading.Lock()
+
+    def call(self, fn: Callable[[], Any]) -> Any:
+        with self._lock:
+            if self.state == "open":
+                if time.time() - self._opened_at >= self.reset_timeout_s:
+                    self.state = "half_open"
+                    logger.info("%s: half-open (probe allowed)", self.name)
+                else:
+                    raise CircuitBreakerOpen(
+                        f"{self.name} open "
+                        f"({self.consecutive_failures} failures)")
+        try:
+            result = fn()
+        except Exception:
+            with self._lock:
+                self.consecutive_failures += 1
+                if (self.state == "half_open"
+                        or self.consecutive_failures
+                        >= self.failure_threshold):
+                    self.state = "open"
+                    self._opened_at = time.time()
+                    logger.warning("%s: OPEN after %d failures",
+                                   self.name, self.consecutive_failures)
+            raise
+        with self._lock:
+            self.consecutive_failures = 0
+            if self.state != "closed":
+                logger.info("%s: closed", self.name)
+            self.state = "closed"
+        return result
+
+
+class Watchdog:
+    """Heartbeat watchdog (architecture_design.md watchdog design):
+    fires ``on_timeout`` when ``kick()`` is not called within
+    ``timeout_s`` — wraps hung acquisition or device loops."""
+
+    def __init__(self, timeout_s: float,
+                 on_timeout: Callable[[], None],
+                 check_interval_s: float = None, name: str = "watchdog"):
+        self.timeout_s = timeout_s
+        self.on_timeout = on_timeout
+        self.check_interval_s = check_interval_s or max(timeout_s / 4,
+                                                        0.005)
+        self.name = name
+        self._last_kick = time.time()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.timeouts = 0
+
+    def kick(self) -> None:
+        self._last_kick = time.time()
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._last_kick = time.time()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+            self._thread = None
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            if time.time() - self._last_kick > self.timeout_s:
+                self.timeouts += 1
+                logger.error("%s: heartbeat missed (>%.2fs)", self.name,
+                             self.timeout_s)
+                try:
+                    self.on_timeout()
+                except Exception:  # noqa: BLE001
+                    logger.exception("watchdog handler failed")
+                self._last_kick = time.time()   # avoid storming
+            time.sleep(self.check_interval_s)

@@ -204,3 +204,105 @@ class TestCalibrationPersistence:
         cal2.load(path)
         np.testing.assert_array_equal(cal.correction_map,
                                       cal2.correction_map)
+
+
+class TestCircuitBreaker:
+    def test_opens_after_failures(self):
+        from heimdall_tpu.runtime.recovery import (CircuitBreaker,
+                                                   CircuitBreakerOpen)
+        cb = CircuitBreaker(failure_threshold=3, reset_timeout_s=0.1)
+
+        def boom():
+            raise ValueError("x")
+        for _ in range(3):
+            with pytest.raises(ValueError):
+                cb.call(boom)
+        assert cb.state == "open"
+        with pytest.raises(CircuitBreakerOpen):
+            cb.call(lambda: 1)
+        time.sleep(0.12)
+        assert cb.call(lambda: 42) == 42     # half-open probe succeeds
+        assert cb.state == "closed"
+
+    def test_half_open_failure_reopens(self):
+        from heimdall_tpu.runtime.recovery import (CircuitBreaker,
+                                                   CircuitBreakerOpen)
+        cb = CircuitBreaker(failure_threshold=1, reset_timeout_s=0.05)
+        with pytest.raises(ValueError):
+            cb.call(lambda: (_ for _ in ()).throw(ValueError()))
+        time.sleep(0.06)
+        with pytest.raises(ValueError):
+            cb.call(lambda: (_ for _ in ()).throw(ValueError()))
+        assert cb.state == "open"
+
+
+class TestWatchdog:
+    def test_fires_and_recovers(self):
+        from heimdall_tpu.runtime.recovery import Watchdog
+        fired = []
+        wd = Watchdog(timeout_s=0.05, on_timeout=lambda: fired.append(1))
+        wd.start()
+        for _ in range(10):           # keep kicking: no fire
+            wd.kick()
+            time.sleep(0.01)
+        assert not fired
+        time.sleep(0.15)              # stop kicking: fires
+        wd.stop()
+        assert fired
+
+
+class TestExternalSync:
+    def test_pulse_source_triggers(self):
+        from heimdall_tpu.lighting.external_sync import (
+            ExternalSynchronizer, SimulatedPulseSource, TriggerSource)
+        sync = ExternalSynchronizer(poll_interval_s=0.0005)
+        sync.add_source(TriggerSource.PROXIMITY_SENSOR,
+                        SimulatedPulseSource(period_s=0.03),
+                        debounce_s=0.005)
+        seen = []
+        sync.register_callback(seen.append)
+        sync.start()
+        time.sleep(0.3)
+        sync.stop()
+        assert len(seen) >= 5
+        assert sync.stats()["proximity_sensor"] >= 5
+
+    def test_encoder_source(self):
+        from heimdall_tpu.lighting.external_sync import (
+            SimulatedEncoderSource, DebouncedTrigger)
+        enc = SimulatedEncoderSource(ticks_per_second=5000,
+                                     ticks_per_bottle=100)
+        trig = DebouncedTrigger(enc, debounce_s=0.001)
+        fires = 0
+        t0 = time.time()
+        while time.time() - t0 < 0.25:
+            if trig.check():
+                fires += 1
+            time.sleep(0.0005)
+        assert 5 <= fires <= 20       # ~50 bottles/s * 0.25s with slack
+
+
+class TestResultRepository:
+    def test_store_query_summary(self, tmp_path):
+        from heimdall_tpu.core.results import ResultRepository
+        from heimdall_tpu.inspection.base_inspector import InspectionResult
+        from heimdall_tpu.detectors.base import Defect
+        repo = ResultRepository(str(tmp_path))
+        for i in range(5):
+            defects = [Defect("contamination", (i, i), 10.0, 0.8)] \
+                if i % 2 else []
+            repo.store(InspectionResult(
+                inspection_id=f"r{i}", timestamp=100.0 + i, success=True,
+                defects=defects, metadata={"processing_time": 0.01}))
+        all_recs = repo.query()
+        assert len(all_recs) == 5
+        bad = repo.query(only_defective=True)
+        assert len(bad) == 2
+        ranged = repo.query(since=102.0, until=103.5)
+        assert len(ranged) == 2
+        s = repo.summary()
+        assert s["inspections"] == 5 and s["defective"] == 2
+        # indices continue across repository instances
+        repo2 = ResultRepository(str(tmp_path))
+        repo2.store(InspectionResult("r5", 200.0, True))
+        assert len(repo2.query()) == 6
