@@ -52,10 +52,8 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
     from heimdall_tpu.detectors.contamination_detector import (
         ContaminationDetector)
-    from heimdall_tpu.ops import blobs as blobs_mod
 
     dev = jax.devices()[0]
     log(f"device: {dev}")

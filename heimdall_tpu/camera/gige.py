@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from heimdall_tpu.camera.hal import (Camera, CameraError, CameraFactory,
-                                     CameraFrame, TriggerMode)
+                                     CameraFrame)
 from heimdall_tpu.runtime.recovery import (AcquisitionError, FaultInjector,
                                            with_recovery)
 
@@ -270,8 +270,7 @@ class GigESystem:
     # ------------------------------------------------------------------
     def diagnostics(self) -> Dict[str, Any]:
         """Acquisition-rate / jitter gates (reference diagnostics.rs)."""
-        from heimdall_tpu.runtime.diagnostics import (MAX_LATENCY_MS,
-                                                      MAX_SYNC_JITTER_US,
+        from heimdall_tpu.runtime.diagnostics import (MAX_SYNC_JITTER_US,
                                                       MIN_FPS)
         start = time.time()
         n = 10

@@ -22,8 +22,7 @@ return device-side aux arrays from ``apply`` and synthesize host objects in
 
 import logging
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 import jax

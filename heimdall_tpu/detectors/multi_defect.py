@@ -17,10 +17,9 @@ Classification rules (matching the reference example's intent):
   contamination — everything else (compact dark blob)
 """
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
-import jax.numpy as jnp
 
 from heimdall_tpu.detectors.base import Defect, DefectDetector
 from heimdall_tpu.detectors.contamination_detector import (

@@ -13,7 +13,7 @@ returning one InspectionResult per frame — this is what the System drives.
 
 import logging
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -6,8 +6,6 @@ ContaminationDetector with the same overridden defaults (min 3 / max 3000 /
 contrast 25 / confidence 0.3 / color on).
 """
 
-from typing import Any, Dict
-
 from heimdall_tpu.inspection.base_inspector import Inspector
 from heimdall_tpu.core.pipeline import PipelineFactory
 from heimdall_tpu.detectors.contamination_detector import ContaminationDetector

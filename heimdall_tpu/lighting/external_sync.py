@@ -12,7 +12,7 @@ import enum
 import logging
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 logger = logging.getLogger("heimdall.lighting.external_sync")

@@ -14,8 +14,7 @@ the blob-table machinery (threshold → CCL → blob stats) for localization.
 """
 
 import logging
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
@@ -42,12 +41,10 @@ if _HAS_FLAX:
         @nn.compact
         def __call__(self, x):
             x = x.astype(jnp.bfloat16) / 255.0
-            skip_shapes = []
             for mult in (1, 2, 4):
                 x = nn.Conv(self.width * mult, (3, 3), strides=(2, 2),
                             dtype=jnp.bfloat16)(x)
                 x = nn.relu(x)
-                skip_shapes.append(x.shape)
             for mult in (2, 1):
                 x = nn.ConvTranspose(self.width * mult, (3, 3),
                                      strides=(2, 2),

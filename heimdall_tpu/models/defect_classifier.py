@@ -16,8 +16,6 @@ reference's empty checkpoint/resume story (SURVEY.md §5).
 import logging
 import os
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ ragged outputs.
 
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 

@@ -19,8 +19,6 @@ with any leading batch dims and are jit/vmap friendly.
 """
 
 import math
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ grid), histogram clipping with uniform + stepped residual redistribution,
 and bilinear LUT interpolation.
 """
 
-import jax
 import jax.numpy as jnp
 
 from heimdall_tpu.ops.threshold import histogram256

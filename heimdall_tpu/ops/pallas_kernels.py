@@ -27,7 +27,6 @@ associative_scan primitives):
 import functools
 import math
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

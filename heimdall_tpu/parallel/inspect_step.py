@@ -24,13 +24,9 @@ defect/frame counts across the whole mesh) — the TPU-native replacement for
 the reference's per-station host EMA (system.py:130-134).
 """
 
-from functools import partial
-from typing import Any, Dict, Optional
-
-import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from heimdall_tpu import ops

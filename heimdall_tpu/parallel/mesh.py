@@ -15,7 +15,7 @@ Collectives ride ICI inside a slice; multi-host lines extend the same mesh
 over DCN with each host feeding its local chips (runtime/feeder.py).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

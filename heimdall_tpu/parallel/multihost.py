@@ -13,7 +13,7 @@ multi-host slice.
 """
 
 import logging
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

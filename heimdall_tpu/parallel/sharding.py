@@ -1,9 +1,6 @@
 """Sharding helpers: frame batches over the inspection mesh."""
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -10,7 +10,7 @@ with a Prometheus text exposition for the dashboard/server.
 import threading
 import time
 from collections import deque
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, List, Optional
 
 
 class SlidingWindow:

@@ -18,8 +18,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
 
-from heimdall_tpu.perf.metrics import SlidingWindow
-
 logger = logging.getLogger("heimdall.perf")
 
 

@@ -7,7 +7,6 @@ table, Markdown, HTML, or CSV.
 
 import enum
 import json
-import math
 import statistics
 import time
 from dataclasses import dataclass, field

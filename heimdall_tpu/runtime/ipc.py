@@ -14,13 +14,12 @@ shared_memory + zmq + bincode were declared, docs/architecture_design.md:
 """
 
 import logging
-import pickle
 import queue
 import struct
 import threading
 import time
 from multiprocessing import shared_memory
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 

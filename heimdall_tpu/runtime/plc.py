@@ -13,7 +13,7 @@ what makes a reject hit the right bottle.
 import logging
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 logger = logging.getLogger("heimdall.plc")

@@ -13,7 +13,6 @@ the latest result, and maintains global stats with the reference's EMA
 """
 
 import base64
-import io
 import json
 import logging
 import threading

@@ -12,7 +12,7 @@ Points are returned cv2-style: [[x, y], ...] tracing the outer boundary
 clockwise in image coordinates.
 """
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 
