@@ -28,4 +28,11 @@ __version__ = "0.1.0"
 from heimdall_tpu.core.config import Config
 from heimdall_tpu.core.acquisition import ImageSource, ImageSourceFactory
 from heimdall_tpu.core.pipeline import Pipeline, PipelineFactory, ProcessingStage
+from heimdall_tpu.core.system import System, InspectionStation
+from heimdall_tpu.core.results import ResultRepository
 from heimdall_tpu.detectors.base import Defect, DefectDetector
+from heimdall_tpu.detectors.contamination_detector import ContaminationDetector
+from heimdall_tpu.inspection.base_inspector import Inspector, InspectionResult
+from heimdall_tpu.inspection.contamination_inspector import (
+    ContaminationInspector,
+)
