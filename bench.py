@@ -91,7 +91,7 @@ def main():
     # --- headline: device-resident frames (the reference's benchmark
     # protocol detects an in-memory image N times — benchmark.py:66-73 —
     # so the fair equivalent keeps frames in HBM, where the production
-    # feeder's double-buffered DMA puts them).  Pipelined depth 6 so
+    # feeder's double-buffered DMA puts them).  Pipelined depth 12 so
     # dispatch round-trips overlap.
     lat = []
     inflight = []
@@ -100,7 +100,7 @@ def main():
         t1 = time.perf_counter()
         acc_d, _ = run(x_dev)
         inflight.append(acc_d)
-        if len(inflight) > 6:
+        if len(inflight) > 12:
             np.asarray(inflight.pop(0)[0, 0])
         lat.append(time.perf_counter() - t1)
     for acc_d in inflight:

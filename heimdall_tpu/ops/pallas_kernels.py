@@ -382,10 +382,10 @@ def _make_stats_kernel(H, W, K):
 
 
 @functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
-                                             "chunk_rows", "interpret"))
+                                             "interpret"))
 def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          max_blobs: int = 64, sweeps: int = 6,
-                         chunk_rows: int = 8, interpret: bool = False):
+                         interpret: bool = False):
     """Run the fused two-kernel pipeline over a [B, H, W, 3] uint8 batch.
 
     Kernel A labels (VMEM-resident preprocess + fill + CCL, one uint8

@@ -223,3 +223,39 @@ class TestExactGeometry:
             got_s = sorted((d.position, d.size) for d in got)
             want_s = sorted((o["pos"], o["area"]) for o in want)
             assert got_s == want_s, (got_s, want_s)
+
+
+class TestEdgeCases:
+    def test_clean_frame_no_defects(self):
+        """A defect-free frame yields an empty defect list (and the device
+        program handles the all-background label image)."""
+        det = ContaminationDetector(config={"include_contours": False})
+        clean = np.full((240, 320, 3), 220, np.uint8)
+        assert det.detect(clean) == []
+        assert cv2_oracle(clean) == []
+
+    def test_blob_table_overflow_reported(self):
+        """More blobs than table capacity: n_blobs exceeds K and exactly K
+        slots fill (documented overflow contract)."""
+        from heimdall_tpu.detectors.contamination_detector import (
+            contamination_program)
+        import jax.numpy as jnp
+        rng = np.random.RandomState(0)
+        img = np.full((128, 192, 3), 220, np.uint8)
+        for _ in range(30):
+            x, y = rng.randint(8, 184), rng.randint(8, 120)
+            img[y:y + 4, x:x + 4] = 20
+        table, conf, acc = contamination_program(
+            jnp.asarray(img[None]), jnp.int32(15), jnp.float32(0.0),
+            jnp.float32(1e9), jnp.float32(0.0), max_blobs=8, ccl_sweeps=6)
+        n = int(np.asarray(table.n_blobs)[0])
+        assert n > 8
+        assert int(np.asarray(table.valid)[0].sum()) == 8
+
+    def test_tiny_frame(self):
+        det = ContaminationDetector(config={"include_contours": False})
+        img = np.full((32, 48, 3), 220, np.uint8)
+        img[12:20, 20:28] = 20
+        got = det.detect(img)
+        want = cv2_oracle(img)
+        assert_blob_parity(got, want)
