@@ -406,6 +406,9 @@ class HoughLinesStage(ProcessingStage):
             return
         edges = np.asarray(data["edges"])
         if edges.ndim == 3:
+            # batched contexts keep the first frame's line list (host-side
+            # Hough segment extraction is per-frame; loop externally for
+            # per-frame lines)
             edges2d = edges[0]
         else:
             edges2d = edges

@@ -111,6 +111,10 @@ class NativeBridge:
             try:
                 image = np.ascontiguousarray(image, np.uint8)
                 h, w = image.shape[:2]
+                if pipeline_type == "contamination":
+                    out = NativeBridge.detect_contamination(image)
+                    out["processing_time"] = time.time() - start
+                    return out
                 gray = np.empty((h, w), np.uint8)
                 binary = np.empty((h, w), np.uint8)
                 lib.hn_process_basic(_u8ptr(image), h, w, _u8ptr(gray),
