@@ -172,7 +172,9 @@ class TestLighting:
         for _ in range(3):
             sync.send_event(SyncEvent.CAMERA_TRIGGER)
         import time
-        time.sleep(0.2)
+        deadline = time.time() + 3
+        while time.time() < deadline and sync.stats()["success"] < 3:
+            time.sleep(0.05)
         sync.stop()
         stats = sync.stats()
         assert stats["success"] == 3
