@@ -132,6 +132,62 @@ def main():
     per_frame_p99_ms = float(np.percentile(lat_ms, 99)) / batch
     log(f"per-frame p99 latency (device): {per_frame_p99_ms:.3f} ms")
 
+    # --- the remaining BASELINE.json configs (stderr detail) -------------
+    # config #1: single-image contamination detect (test_contamination)
+    one = jax.device_put(frames[:1], dev)
+    run(one)  # compile the batch-1 shape
+    lat1 = []
+    for _ in range(10):
+        t1 = time.perf_counter()
+        a, _ = run(one)
+        np.asarray(a[0, 0])
+        lat1.append(time.perf_counter() - t1)
+    log(f"config#1 single-image detect: "
+        f"p50 {np.percentile(np.asarray(lat1)*1000, 50):.2f} ms")
+
+    # config #2: preprocessing only (gray + blur + adaptive threshold)
+    import jax.numpy as jnp
+    from heimdall_tpu import ops
+
+    @jax.jit
+    def preprocess(x):
+        g = ops.bgr_to_gray(x)
+        b = ops.gaussian_blur(g, 5)
+        return ops.adaptive_threshold(b, 255, "gaussian", "binary_inv",
+                                      11, jnp.int32(15))
+    xb = jax.device_put(frames, dev)
+    np.asarray(preprocess(xb)[0, 0, 0])
+    lat2b = []
+    for _ in range(10):
+        t1 = time.perf_counter()
+        r = preprocess(xb)
+        np.asarray(r[0, 0, 0])
+        lat2b.append(time.perf_counter() - t1)
+    pre_ms = np.percentile(np.asarray(lat2b) * 1000, 50)
+    log(f"config#2 preprocessing only: p50 {pre_ms:.2f} ms/batch "
+        f"({batch/(pre_ms/1000):.0f} fps)")
+
+    # config #4: file-source acquisition stream at 25 fps feeding inspect
+    from heimdall_tpu.core.acquisition import SimulationImageSource
+    src = SimulationImageSource("bench", {"width": 640, "height": 480,
+                                          "seed": 1,
+                                          "defect_probability": 1.0})
+    src.open()
+    deadline_hits = 0
+    n_stream = 50
+    small = jax.device_put(frames[:1], dev)  # reuse compiled batch-1
+    for _ in range(n_stream):
+        t1 = time.perf_counter()
+        _, frame = src.read()
+        x1 = jax.device_put(frame[None], dev)
+        a, _ = run(x1)
+        np.asarray(a[0, 0])
+        if time.perf_counter() - t1 <= 1 / 25:
+            deadline_hits += 1
+    log(f"config#4 25fps stream: {deadline_hits}/{n_stream} frames met "
+        f"the 40 ms budget (sim-draw + H2D + detect + verdict)")
+    # config #5 (full 4-camera line sim) lives in examples/line_simulation.py
+
     baseline_fps = 100.0  # 90k BPH * 4 cameras / 3600
     print(json.dumps({
         "metric": "contamination_inspection_fps_640x480",
