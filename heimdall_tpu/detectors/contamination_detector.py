@@ -37,7 +37,8 @@ from heimdall_tpu.utils import contours as contours_mod
 
 
 @partial(jax.jit, static_argnames=("max_blobs", "use_color", "formula",
-                                   "return_labels", "ccl_sweeps"))
+                                   "return_labels", "ccl_sweeps",
+                                   "tiled_band"))
 def contamination_program(images: jnp.ndarray,
                           contrast_threshold: jnp.ndarray,
                           min_size: jnp.ndarray,
@@ -47,7 +48,8 @@ def contamination_program(images: jnp.ndarray,
                           use_color: bool = True,
                           formula: str = "python",
                           return_labels: bool = False,
-                          ccl_sweeps: int = 0):
+                          ccl_sweeps: int = 0,
+                          tiled_band: int = 0):
     """The full batched contamination-detection device program.
 
     Args:
@@ -61,6 +63,11 @@ def contamination_program(images: jnp.ndarray,
         has both variants (contamination_detector.py:160 vs detection.rs:294).
       return_labels: also return the int32 label image (for host contour
         synthesis); off on the throughput path to avoid the D2H.
+      tiled_band: when > 0, hole filling and CCL run as Pallas band-local
+        kernels of this many rows plus an interface merge (ops/ccl_tiled.py)
+        instead of whole-frame XLA scans — the fast path for frames beyond
+        the fused kernels' VMEM cap (e.g. the reference's 1920x1080
+        cameras).  Label output is identical (tests/test_ccl_tiled.py).
 
     Returns (table: BlobTable, confidence: [N,K] f32, accepted: [N,K] bool
              [, labels]).
@@ -77,9 +84,19 @@ def contamination_program(images: jnp.ndarray,
     # semantics: ring-shaped responses (large uniform dark spots only fire at
     # their rim under adaptive thresholding) gate and measure as full discs,
     # exactly as the reference's contour-based path does.
-    mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
-    labels = ops.connected_components(mask, connectivity=8,
-                                      sweeps=ccl_sweeps)
+    if tiled_band > 0:
+        from heimdall_tpu.ops import ccl_tiled
+        interp = jax.default_backend() == "cpu"
+        sweeps = ccl_sweeps if ccl_sweeps > 0 else 6
+        mask = ccl_tiled.fill_holes_tiled(binary > 0, band=tiled_band,
+                                          sweeps=sweeps, interpret=interp)
+        labels = ccl_tiled.connected_components_tiled(
+            mask, connectivity=8, band=tiled_band, sweeps=sweeps,
+            interpret=interp)
+    else:
+        mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
+        labels = ops.connected_components(mask, connectivity=8,
+                                          sweeps=ccl_sweeps)
     table = blobs_mod.blob_stats(labels, mask, gray, color,
                                  max_blobs=max_blobs, use_color=use_color)
     if formula == "native":
@@ -142,10 +159,15 @@ class ContaminationDetector(DefectDetector):
             images = (images >> 8).astype(jnp.uint8)
         # The fused kernels keep whole frames in VMEM; beyond ~0.5 MP the
         # working set exceeds the ~16 MB budget, so large frames (e.g. the
-        # reference's 1920x1080 Mono8 cameras) take the HBM-resident XLA
-        # path automatically.
-        fits_vmem = (images.shape[-3] * images.shape[-2] <= 400_000
-                     if images.ndim >= 3 else False)
+        # reference's 1920x1080 Mono8 cameras) switch to the band-tiled
+        # Pallas CCL (ops/ccl_tiled.py) instead of whole-frame kernels.
+        if images.ndim == 4:              # [B, H, W, C]
+            frame_px = images.shape[-3] * images.shape[-2]
+        elif images.ndim == 3:            # [B, H, W] grayscale
+            frame_px = images.shape[-2] * images.shape[-1]
+        else:
+            frame_px = 0
+        fits_vmem = 0 < frame_px <= 400_000
         if (self.backend == "pallas" and not return_labels and fits_vmem
                 and images.ndim == 4 and images.shape[-1] == 3):
             from heimdall_tpu.ops.pallas_kernels import (
@@ -157,6 +179,13 @@ class ContaminationDetector(DefectDetector):
                 float(self.min_confidence),
                 max_blobs=self.max_blobs, use_color=self.use_color,
                 formula=self.formula, sweeps=max(self.ccl_sweeps, 1))
+        # Large frames route to the band-tiled Pallas CCL on accelerator
+        # platforms for BOTH backends: it is ~2x faster than the whole-frame
+        # XLA scans there, and the XLA scan path miscompiles on TPU at large
+        # batchxframe shapes (observed at [16,1080,1920]: foreground pixels
+        # lost; CPU XLA, cv2 and the tiled path all agree — see ROADMAP).
+        on_accel = jax.default_backend() != "cpu"
+        tiled_band = (256 if on_accel and frame_px > 400_000 else 0)
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),
@@ -167,7 +196,8 @@ class ContaminationDetector(DefectDetector):
             use_color=self.use_color,
             formula=self.formula,
             return_labels=return_labels,
-            ccl_sweeps=self.ccl_sweeps)
+            ccl_sweeps=self.ccl_sweeps,
+            tiled_band=tiled_band)
 
     # -- host API ----------------------------------------------------------
     def detect(self, image: np.ndarray,

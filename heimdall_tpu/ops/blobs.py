@@ -30,6 +30,7 @@ ragged outputs.
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -96,17 +97,21 @@ def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
     mask_flat = mask.reshape(B, HW)
 
     # --- compact blob ids -------------------------------------------------
+    # Roots in raster order give compact ids.  A pixel's id is the RANK of
+    # its label among the first-K root linear indices — computed by K fused
+    # compare-reductions against a top_k root table instead of a full-image
+    # gather (TPU gathers run ~70M elem/s; compares stream at memory speed).
     is_root = mask & (labels == lin)                       # [B, H, W]
     root_flat = is_root.reshape(B, HW)
-    compact = jnp.cumsum(root_flat.astype(jnp.int32), axis=-1) - 1
-    n_blobs = compact[:, -1] + 1
-    comp_at_root = jnp.where(root_flat, compact, 0)
-    padded = jnp.concatenate(
-        [comp_at_root, jnp.zeros((B, 1), jnp.int32)], axis=-1)
-    bid = jnp.take_along_axis(padded, labels_flat, axis=-1)
-    # overflow blobs and background go to the invalid bucket K (masked out
-    # of every reduction below)
-    bid = jnp.where(mask_flat, jnp.minimum(bid, K), K)     # [B, HW]
+    n_blobs = jnp.sum(root_flat.astype(jnp.int32), axis=-1)
+    keys = jnp.where(root_flat, labels_flat, HW)
+    rl = -jax.lax.top_k(-keys, K)[0]                       # [B, K] ascending
+    count = jnp.sum((rl[:, None, :] <= labels_flat[:, :, None])
+                    .astype(jnp.int32), axis=-1)           # [B, HW]
+    in_table = jnp.any(rl[:, None, :] == labels_flat[:, :, None], axis=-1)
+    # overflow blobs (rank >= K) and background go to the invalid bucket K
+    # (masked out of every reduction below)
+    bid = jnp.where(mask_flat & in_table, count - 1, K)    # [B, HW]
 
     ks = jnp.arange(K, dtype=jnp.int32)                    # table slots
 
