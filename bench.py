@@ -188,6 +188,33 @@ def main():
         f"the 40 ms budget (sim-draw + H2D + detect + verdict)")
     # config #5 (full 4-camera line sim) lives in examples/line_simulation.py
 
+    # --- design-point detail: 1920x1080 (the reference's 4x Basler 2MP
+    # cameras) through the band-tiled Pallas CCL path -------------------
+    if os.environ.get("BENCH_2MP", "1") != "0":
+        from heimdall_tpu.detectors.contamination_detector import (
+            contamination_program)
+        b2 = 16
+        big = make_frames(b2, 1080, 1920, seed=2)
+        xbig = jax.device_put(big, dev)
+        args2 = (xbig, jnp.int32(15), jnp.float32(3.0), jnp.float32(3000.0),
+                 jnp.float32(0.25))
+        run2 = lambda: contamination_program(*args2, ccl_sweeps=6,  # noqa: E731
+                                             tiled_band=256)
+        np.asarray(run2()[2][0, 0])
+        infl = []
+        t1 = time.perf_counter()
+        it2 = 10
+        for _ in range(it2):
+            infl.append(run2()[2])
+            if len(infl) > 5:
+                np.asarray(infl.pop(0)[0, 0])
+        for acc2 in infl:
+            np.asarray(acc2[0, 0])
+        dt2 = time.perf_counter() - t1
+        log(f"design-point 1920x1080 tiled detect: {b2*it2/dt2:.1f} fps "
+            f"({dt2/it2/b2*1000:.2f} ms/frame; line needs 100 fps = "
+            f"4 cams x 25)")
+
     baseline_fps = 100.0  # 90k BPH * 4 cameras / 3600
     print(json.dumps({
         "metric": "contamination_inspection_fps_640x480",

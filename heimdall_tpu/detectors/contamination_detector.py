@@ -84,21 +84,24 @@ def contamination_program(images: jnp.ndarray,
     # semantics: ring-shaped responses (large uniform dark spots only fire at
     # their rim under adaptive thresholding) gate and measure as full discs,
     # exactly as the reference's contour-based path does.
+    root_table = root_count = None
     if tiled_band > 0:
         from heimdall_tpu.ops import ccl_tiled
         interp = jax.default_backend() == "cpu"
         sweeps = ccl_sweeps if ccl_sweeps > 0 else 6
         mask = ccl_tiled.fill_holes_tiled(binary > 0, band=tiled_band,
                                           sweeps=sweeps, interpret=interp)
-        labels = ccl_tiled.connected_components_tiled(
+        labels, root_table, root_count = ccl_tiled.connected_components_tiled(
             mask, connectivity=8, band=tiled_band, sweeps=sweeps,
-            interpret=interp)
+            interpret=interp, return_roots=max_blobs)
     else:
         mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
         labels = ops.connected_components(mask, connectivity=8,
                                           sweeps=ccl_sweeps)
     table = blobs_mod.blob_stats(labels, mask, gray, color,
-                                 max_blobs=max_blobs, use_color=use_color)
+                                 max_blobs=max_blobs, use_color=use_color,
+                                 root_table=root_table,
+                                 root_count=root_count)
     if formula == "native":
         conf = blobs_mod.confidence_native(table)
     else:

@@ -72,7 +72,9 @@ def _bbox_sum(ii: jnp.ndarray, x0, y0, x1, y1) -> jnp.ndarray:
 
 def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
                color: Optional[jnp.ndarray] = None, max_blobs: int = 64,
-               use_color: bool = True) -> BlobTable:
+               use_color: bool = True,
+               root_table: Optional[jnp.ndarray] = None,
+               root_count: Optional[jnp.ndarray] = None) -> BlobTable:
     """Compute the per-blob statistics table.
 
     Args:
@@ -84,6 +86,10 @@ def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
         n_blobs so callers can detect overflow).
       use_color: when False (or color is None) color_score is the neutral
         0.5 of the reference (contamination_detector.py:139).
+      root_table / root_count: optional precomputed first-K root linear
+        indices (ascending, padded with H*W) and exact component counts —
+        the tiled CCL path recovers these in its band kernels, skipping
+        the full-image top_k below.
 
     Returns BlobTable with fields [B, K].
     """
@@ -101,11 +107,17 @@ def blob_stats(labels: jnp.ndarray, mask: jnp.ndarray, gray: jnp.ndarray,
     # its label among the first-K root linear indices — computed by K fused
     # compare-reductions against a top_k root table instead of a full-image
     # gather (TPU gathers run ~70M elem/s; compares stream at memory speed).
-    is_root = mask & (labels == lin)                       # [B, H, W]
-    root_flat = is_root.reshape(B, HW)
-    n_blobs = jnp.sum(root_flat.astype(jnp.int32), axis=-1)
-    keys = jnp.where(root_flat, labels_flat, HW)
-    rl = -jax.lax.top_k(-keys, K)[0]                       # [B, K] ascending
+    if root_table is None:
+        is_root = mask & (labels == lin)                   # [B, H, W]
+        root_flat = is_root.reshape(B, HW)
+        n_blobs = jnp.sum(root_flat.astype(jnp.int32), axis=-1)
+        keys = jnp.where(root_flat, labels_flat, HW)
+        rl = -jax.lax.top_k(-keys, K)[0]                   # [B, K] ascending
+    else:
+        rl = root_table[:, :K]
+        n_blobs = (root_count if root_count is not None
+                   else jnp.sum((mask & (labels == lin))
+                                .astype(jnp.int32), axis=(-2, -1)))
     count = jnp.sum((rl[:, None, :] <= labels_flat[:, :, None])
                     .astype(jnp.int32), axis=-1)           # [B, HW]
     in_table = jnp.any(rl[:, None, :] == labels_flat[:, :, None], axis=-1)

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from heimdall_tpu.ops.pallas_kernels import _shift_const, _seg_min_scan
+from heimdall_tpu.ops.pallas_kernels import (_cumsum_axis, _seg_min_scan,
+                                             _shift_const)
 
 
 # ---------------------------------------------------------------------------
@@ -57,17 +58,25 @@ def _neighbor_min(lab, sentinel, connectivity):
     return jnp.minimum(out, _shift_const(lab, -1, 0, sentinel))
 
 
-def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps):
+def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
+                          roots_cap=0, n_bands=1):
     """Label one [Th, W] band with global linear indices (band-local
-    connectivity only; the merge step joins bands)."""
+    connectivity only; the merge step joins bands).
 
-    def kernel(mask_ref, lab_ref):
+    With roots_cap > 0 the kernel also emits the band's first roots_cap
+    component roots in raster order plus the exact root count — recovered
+    in VMEM for the price of two prefix sums, so callers never need a
+    top_k over the full label image to build blob tables.
+    """
+
+    def kernel(mask_ref, lab_ref, *root_refs):
         r = pl.program_id(1)
         # load as int32 before any compare — Mosaic rejects unsigned i8 cmp
         fg = mask_ref[0].astype(jnp.int32)  # 0/1 plane
         row = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 0) + r * Th
         col = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 1)
-        lab0 = jnp.where(fg > 0, row * W + col, sentinel)
+        lin = row * W + col
+        lab0 = jnp.where(fg > 0, lin, sentinel)
 
         bg = 1 - fg
         fg_t = jnp.transpose(fg)
@@ -87,13 +96,59 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps):
             lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
             return jnp.transpose(lab_t)
 
-        lab_ref[0] = jax.lax.fori_loop(0, sweeps, body, lab0)
+        lab = jax.lax.fori_loop(0, sweeps, body, lab0)
+        lab_ref[0] = lab
+
+        if roots_cap:
+            # [1, R, cap] / [1, R, 1] blocks stay VMEM-resident across the
+            # r grid steps (same out block per frame); row r is filled via
+            # a one-hot sublane mask — Mosaic rejects (1,1,cap) blocks
+            # (middle dim must divide 8 or equal the array dim).
+            roots_ref, count_ref = root_refs
+            is_root = ((fg > 0) & (lab == lin)).astype(jnp.int32)
+            pre_row = _cumsum_axis(is_root, 1)
+            row_tot = jnp.broadcast_to(
+                jax.lax.slice_in_dim(pre_row, W - 1, W, axis=1), (Th, W))
+            row_off = _cumsum_axis(row_tot, 0) - row_tot
+            compact = pre_row + row_off - 1          # raster rank at roots
+            count = jnp.sum(is_root)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, roots_cap), 1)
+
+            def slot(k, tbl):
+                v = jnp.min(jnp.where((is_root > 0) & (compact == k), lin,
+                                      sentinel))
+                return jnp.where(lane == k, v, tbl)
+
+            tbl = jax.lax.fori_loop(
+                0, jnp.minimum(count, roots_cap), slot,
+                jnp.full((1, roots_cap), sentinel, jnp.int32))
+
+            band_row = jax.lax.broadcasted_iota(
+                jnp.int32, (n_bands, roots_cap), 0)
+
+            @pl.when(r == 0)
+            def _():
+                roots_ref[0] = jnp.full((n_bands, roots_cap), sentinel,
+                                        jnp.int32)
+                count_ref[0] = jnp.zeros((n_bands, 1), jnp.int32)
+
+            roots_ref[0] = jnp.where(band_row == r,
+                                     jnp.broadcast_to(tbl,
+                                                      (n_bands, roots_cap)),
+                                     roots_ref[0])
+            count_ref[0] = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (n_bands, 1), 0) == r,
+                jnp.full((n_bands, 1), count, jnp.int32), count_ref[0])
 
     return kernel
 
 
-def _band_ccl(mask, connectivity, band, sweeps, interpret):
-    """Band-local labels for a [B, H, W] bool mask (padded to full bands)."""
+def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0):
+    """Band-local labels for a [B, H, W] bool mask (padded to full bands).
+
+    Returns labels, or (labels, band_roots [B, R, cap], counts [B, R])
+    when roots_cap > 0.
+    """
     B, H, W = mask.shape
     R = -(-H // band)
     Hp = R * band
@@ -102,20 +157,37 @@ def _band_ccl(mask, connectivity, band, sweeps, interpret):
     if Hp != H:
         m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
 
-    kernel = _make_band_ccl_kernel(band, W, sentinel, connectivity, sweeps)
-    lab = pl.pallas_call(
+    kernel = _make_band_ccl_kernel(band, W, sentinel, connectivity, sweeps,
+                                   roots_cap, n_bands=R)
+    out_specs = [pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, Hp, W), jnp.int32)]
+    if roots_cap:
+        # whole-frame-resident [1, R, cap] blocks (same block across the r
+        # steps; the kernel fills row r) — a (1, 1, cap) block would break
+        # Mosaic's middle-dim tiling rule
+        out_specs += [
+            pl.BlockSpec((1, R, roots_cap), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 1), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [jax.ShapeDtypeStruct((B, R, roots_cap), jnp.int32),
+                      jax.ShapeDtypeStruct((B, R, 1), jnp.int32)]
+    out = pl.pallas_call(
         kernel,
         grid=(B, R),
         in_specs=[pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, W), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(m)
-    return lab[:, :H]
+    if roots_cap:
+        return out[0][:, :H], out[1], out[2][..., 0]
+    return out[0][:, :H]
 
 
 # ---------------------------------------------------------------------------
@@ -234,31 +306,18 @@ def _apply_pairs(labels, old, new, n_changed):
     return out.reshape(B, H, W)
 
 
-def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
-    """Unify components across band boundaries.
+def _merge_prep(labels, band, connectivity, sentinel, iters):
+    """Shared merge machinery: dedup/compact the interface edges, resolve
+    the union-find, extract changed pairs.  Returns everything both the
+    fast compare-select path and the adversarial fallback need.
 
-    The union-find runs on the small interface domain; applying it back is
-    a compare-select pass per changed label (production frames change a
-    handful).  If more than _MAX_CHANGED labels merged (adversarial masks),
-    a dense old->root map plus one full-image gather takes over — exact
-    either way, TPU gathers are just ~10x slower than the compare passes.
+    Dedup matters: a large component (e.g. the scene background during
+    hole filling) produces an edge per interface pixel but only ONE
+    distinct root pair per band crossing, so distinct pairs stay tiny for
+    any realistic mask.  _MAX_CHANGED caps the pathological case; the
+    cond in the callers keeps that exact too.
     """
-    B, H, W = labels.shape
-    R = -(-H // band)
-    if R <= 1:
-        return labels
-    if iters <= 0:
-        iters = max(1, math.ceil(math.log2(R))) + 2
-
     a, b = _interface_edges(labels, band, connectivity, sentinel)
-
-    # Deduplicate then compact the REAL edges (both endpoints foreground,
-    # labels differ) to a small fixed capacity, after which every
-    # union-find structure lives on a ~2K domain.  Dedup matters: a large
-    # component (e.g. the scene background during hole filling) produces an
-    # edge per interface pixel but only ONE distinct root pair per band
-    # crossing, so distinct pairs stay tiny for any realistic mask.
-    # _MAX_CHANGED caps the pathological case; the cond keeps it exact.
     cap = _MAX_CHANGED
     big = jnp.int32(2**30)
     trivial = (a >= sentinel) | (b >= sentinel) | (a == b)
@@ -280,24 +339,103 @@ def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
     roots = _resolve_roots(u, a_c, b_c, iters)
     roots = jnp.where(u < big, roots, u)     # padding stays itself
     old, new, n_changed = _changed_pairs(u, roots, cap)
+    return dict(a=a, b=b, trivial=trivial, n_edges=n_edges, cap=cap,
+                old=old, new=new, n_changed=n_changed, iters=iters)
 
-    def fast(_):
-        return _apply_pairs(labels, old, new, n_changed)
 
-    def slow(_):
-        # adversarial fallback: full edge list, dense map, one image gather
-        am = jnp.where(trivial, sentinel, a)
-        bm = jnp.where(trivial, sentinel, b)
-        uf = jnp.sort(jnp.concatenate([am, bm], axis=-1), axis=-1)
-        rf = _resolve_roots(uf, am, bm, iters)
-        bidx = jnp.arange(B)[:, None]
-        dense = jnp.broadcast_to(jnp.arange(sentinel + 1, dtype=jnp.int32),
-                                 (B, sentinel + 1))
-        dense = dense.at[bidx, uf].set(jnp.minimum(rf, sentinel))
-        flat = labels.reshape(B, H * W)
-        return jnp.take_along_axis(dense, flat, axis=-1).reshape(B, H, W)
+def _slow_remap(labels, prep, sentinel):
+    """Adversarial fallback: full edge list, dense map, one image gather."""
+    B, H, W = labels.shape
+    am = jnp.where(prep["trivial"], sentinel, prep["a"])
+    bm = jnp.where(prep["trivial"], sentinel, prep["b"])
+    uf = jnp.sort(jnp.concatenate([am, bm], axis=-1), axis=-1)
+    rf = _resolve_roots(uf, am, bm, prep["iters"])
+    bidx = jnp.arange(B)[:, None]
+    dense = jnp.broadcast_to(jnp.arange(sentinel + 1, dtype=jnp.int32),
+                             (B, sentinel + 1))
+    dense = dense.at[bidx, uf].set(jnp.minimum(rf, sentinel))
+    flat = labels.reshape(B, H * W)
+    return jnp.take_along_axis(dense, flat, axis=-1).reshape(B, H, W)
 
-    return jax.lax.cond(jnp.max(n_edges) <= cap, fast, slow, operand=None)
+
+def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
+    """Unify components across band boundaries.
+
+    The union-find runs on the small interface domain; applying it back is
+    a compare-select pass per changed label (production frames change a
+    handful).  If more than _MAX_CHANGED distinct edges appear
+    (adversarial masks), a dense old->root map plus one full-image gather
+    takes over — exact either way, TPU gathers are just ~10x slower than
+    the compare passes.
+    """
+    B, H, W = labels.shape
+    R = -(-H // band)
+    if R <= 1:
+        return labels
+    if iters <= 0:
+        iters = max(1, math.ceil(math.log2(R))) + 2
+    prep = _merge_prep(labels, band, connectivity, sentinel, iters)
+
+    return jax.lax.cond(
+        jnp.max(prep["n_edges"]) <= prep["cap"],
+        lambda _: _apply_pairs(labels, prep["old"], prep["new"],
+                               prep["n_changed"]),
+        lambda _: _slow_remap(labels, prep, sentinel),
+        operand=None)
+
+
+def _merge_with_roots(labels, band_roots, counts, band, connectivity,
+                      sentinel, K, iters=0):
+    """Merge + global root table from the band kernels' per-band tables.
+
+    Returns (merged labels, root_table [B, K] of the first K merged roots
+    in raster order padded with sentinel, n_blobs [B]).  The root table
+    comes from the per-band tables minus the labels the merge remapped
+    away — no full-image top_k.  Labels and root table fall back
+    independently: an over-capacity band table only costs a top_k, not
+    the dense-remap slow path.
+    """
+    B, H, W = labels.shape
+    R = -(-H // band)
+    cap_b = band_roots.shape[-1]
+    flat_roots = band_roots.reshape(B, -1)             # ascending per band
+    if R <= 1:
+        rl = flat_roots[:, :K]
+        return labels, rl, counts.sum(axis=-1)
+    if iters <= 0:
+        iters = max(1, math.ceil(math.log2(R))) + 2
+    prep = _merge_prep(labels, band, connectivity, sentinel, iters)
+    old = prep["old"]
+    edges_ok = jnp.max(prep["n_edges"]) <= prep["cap"]
+
+    merged = jax.lax.cond(
+        edges_ok,
+        lambda _: _apply_pairs(labels, prep["old"], prep["new"],
+                               prep["n_changed"]),
+        lambda _: _slow_remap(labels, prep, sentinel),
+        operand=None)
+
+    def table_roots(_):
+        gone = jnp.any(flat_roots[:, :, None] == old[:, None, :], axis=-1)
+        survivors = jnp.where(gone, sentinel, flat_roots)
+        rl = jnp.sort(survivors, axis=-1)[:, :K]
+        return rl, counts.sum(axis=-1) - prep["n_changed"]
+
+    def topk_roots(_):
+        lin = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+               + jnp.arange(W, dtype=jnp.int32)[None, :])
+        is_root = (merged == lin) & (merged != sentinel)
+        keys = jnp.where(is_root, merged, sentinel).reshape(B, H * W)
+        rl = -jax.lax.top_k(-keys, K)[0]
+        return rl, jnp.sum(is_root.astype(jnp.int32), axis=(-2, -1))
+
+    # the table path requires un-truncated band tables: with > cap_b roots
+    # in one band, merge removals could promote a truncated root into the
+    # global first-K
+    rl, n_blobs = jax.lax.cond(
+        edges_ok & (jnp.max(counts) <= cap_b), table_roots, topk_roots,
+        operand=None)
+    return merged, rl, n_blobs
 
 
 # ---------------------------------------------------------------------------
@@ -306,23 +444,45 @@ def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "band",
                                              "sweeps", "merge_iters",
-                                             "interpret"))
+                                             "interpret", "return_roots"))
 def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
                                sweeps: int = 6, merge_iters: int = 0,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               return_roots: int = 0):
     """Drop-in for ops.ccl.connected_components on [B, H, W] bool masks.
 
     Identical output contract (labels = linear index of the component's
     minimal pixel; background = H*W); any H (bands pad internally).
+
+    With return_roots = K > 0, also returns (root_table [B, K] — the first
+    K component root indices in raster order, padded with H*W — and
+    n_blobs [B]), recovered from the band kernels' per-band root tables so
+    blob_stats skips its full-image top_k.
     """
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
     B, H, W = mask.shape
     sentinel = H * W
-    lab = _band_ccl(mask, connectivity, band, sweeps, interpret)
-    lab = _merge_band_labels(lab, band, connectivity, sentinel, merge_iters)
-    return lab[0] if squeeze else lab
+    if not return_roots:
+        lab = _band_ccl(mask, connectivity, band, sweeps, interpret)
+        lab = _merge_band_labels(lab, band, connectivity, sentinel,
+                                 merge_iters)
+        return lab[0] if squeeze else lab
+
+    K = return_roots
+    # the in-kernel tables are wider than K so blob-heavy bands (kernel
+    # loop cost stays O(actual roots)) keep the cheap table path; only
+    # > cap_b roots in one band falls back to a top_k
+    lab, band_roots, counts = _band_ccl(mask, connectivity, band, sweeps,
+                                        interpret,
+                                        roots_cap=max(K, 128))
+    lab, rl, n_blobs = _merge_with_roots(lab, band_roots, counts, band,
+                                         connectivity, sentinel, K,
+                                         merge_iters)
+    if squeeze:
+        return lab[0], rl[0], n_blobs[0]
+    return lab, rl, n_blobs
 
 
 @functools.partial(jax.jit, static_argnames=("band", "sweeps",

@@ -174,3 +174,26 @@ def test_merge_overflow_falls_back_to_exact_path():
     got = connected_components_tiled(jnp.asarray(m), band=8, sweeps=4,
                                      interpret=INTERP)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_return_roots_matches_topk():
+    rng = np.random.RandomState(5)
+    h, w = 64, 96
+    masks = np.zeros((2, h, w), bool)
+    yy, xx = np.ogrid[:h, :w]
+    for i in range(2):
+        for _ in range(7):
+            cy, cx = rng.randint(4, h - 4), rng.randint(4, w - 4)
+            r = rng.randint(2, 9)
+            masks[i] |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    lab, rl, n = connected_components_tiled(
+        jnp.asarray(masks), band=16, sweeps=10, interpret=INTERP,
+        return_roots=8)
+    lab_np = np.asarray(lab)
+    for i in range(2):
+        lin = np.arange(h * w).reshape(h, w)
+        roots = np.sort(lin[(lab_np[i] == lin) & masks[i]])
+        assert int(np.asarray(n)[i]) == roots.size
+        want = np.full(8, h * w)
+        want[:min(8, roots.size)] = roots[:8]
+        np.testing.assert_array_equal(np.asarray(rl)[i], want)
