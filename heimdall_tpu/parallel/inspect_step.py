@@ -324,6 +324,49 @@ def make_pallas_data_parallel_step(mesh: Mesh, max_blobs: int = 64,
     return step
 
 
+def make_tiled_data_parallel_step(mesh: Mesh, max_blobs: int = 64,
+                                  use_color: bool = True,
+                                  formula: str = "python",
+                                  sweeps: int = 6,
+                                  band: int = 256):
+    """Data-parallel multi-chip step over the BAND-TILED Pallas CCL path.
+
+    The production layout for the reference's 2 MP cameras: frames too
+    large for the whole-frame fused kernels shard over a flat "data" axis
+    (the tiled path is per-frame independent — band kernels + interface
+    merge all stay chip-local), so a 2-chip slice covers the 4-camera
+    100 fps line with headroom (one v5e does ~80 fps of 2 MP frames).
+    Zero collectives; outputs come back sharded P("data").
+
+    Place frames with ``shard_batch(mesh, frames, spatial=False)``.
+    """
+    from heimdall_tpu.detectors.contamination_detector import (
+        contamination_program)
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("data_all",))
+
+    def local_step(frames, ct, mins, maxs, minc):
+        return contamination_program(
+            frames, ct, mins, maxs, minc, max_blobs=max_blobs,
+            use_color=use_color, formula=formula, ccl_sweeps=sweeps,
+            tiled_band=band)
+
+    sharded = shard_map(
+        local_step, mesh=flat_mesh,
+        in_specs=(P("data_all"), P(), P(), P(), P()),
+        out_specs=(jax.tree.map(lambda _: P("data_all"),
+                                _blob_table_structure(max_blobs)),
+                   P("data_all"), P("data_all")),
+        check_vma=False)
+
+    @jax.jit
+    def step(frames, contrast, min_size, max_size, min_conf):
+        return sharded(frames, jnp.int32(contrast), jnp.float32(min_size),
+                       jnp.float32(max_size), jnp.float32(min_conf))
+
+    return step
+
+
 def _blob_table_structure(max_blobs):
     """A BlobTable pytree skeleton for building out_specs."""
     from heimdall_tpu.ops.blobs import BlobTable

@@ -116,3 +116,28 @@ def test_pallas_data_parallel_step():
                                   np.asarray(ref.area_px))
     np.testing.assert_array_equal(np.asarray(table.x), np.asarray(ref.x))
     assert accepted.shape == (n, 16)
+
+
+def test_tiled_data_parallel_step():
+    # 2MP-class frames shard over a flat data axis; the band-tiled CCL path
+    # runs chip-local and must match the unsharded program bit-for-bit.
+    from heimdall_tpu.parallel.inspect_step import (
+        make_tiled_data_parallel_step)
+    from heimdall_tpu.detectors.contamination_detector import (
+        contamination_program)
+    mesh = make_mesh(data=8, spatial=1)
+    n = 8
+    frames = _frames(n, 96, 64, seed=7)
+    step = make_tiled_data_parallel_step(mesh, max_blobs=16, band=32,
+                                         sweeps=8)
+    table, conf, accepted = step(
+        shard_batch(mesh, frames, spatial=False), 15, 0.0, 1e9, 0.0)
+    rt, rc, ra = contamination_program(
+        jnp.asarray(frames), jnp.int32(15), jnp.float32(0.0),
+        jnp.float32(1e9), jnp.float32(0.0), max_blobs=16, ccl_sweeps=8,
+        tiled_band=32)
+    for f in rt._fields:
+        np.testing.assert_allclose(np.asarray(getattr(table, f)),
+                                   np.asarray(getattr(rt, f)),
+                                   atol=1e-5, err_msg=f)
+    np.testing.assert_array_equal(np.asarray(accepted), np.asarray(ra))
