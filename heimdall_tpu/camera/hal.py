@@ -277,6 +277,10 @@ class CameraFactory:
     @classmethod
     def create(cls, backend: str, camera_id: str,
                config: Dict[str, Any] = None) -> Camera:
+        if backend == "aravis-hw":
+            # real GigE hardware through the native dlopen shim
+            from heimdall_tpu.camera.aravis import AravisHardwareCamera
+            return AravisHardwareCamera(camera_id, config)
         camera_cls = cls._BACKENDS.get(backend)
         if camera_cls is None:
             raise CameraError(CameraError.Kind.NOT_FOUND,
