@@ -68,7 +68,27 @@ async function tick() {{
     document.getElementById('stats').innerHTML = rows;
   }} catch (e) {{}}
 }}
-setInterval(tick, 1000); tick();
+function render(latest, stats) {{
+  if (latest.image) {{
+    document.getElementById('frame').src =
+      'data:image/jpeg;base64,' + latest.image;
+  }}
+  const rows = Object.entries(stats).map(
+    ([k, v]) => `<tr><td>${{k}}</td><td>${{
+      typeof v === 'number' ? v.toFixed(3) : v}}</td></tr>`).join('');
+  document.getElementById('stats').innerHTML = rows;
+}}
+// push channel (every frame); fall back to 1 Hz polling on error
+try {{
+  const es = new EventSource('/api/stream');
+  es.onmessage = (ev) => {{
+    const p = JSON.parse(ev.data); render(p.latest, p.stats);
+  }};
+  es.onerror = () => {{ es.close(); setInterval(tick, 1000); }};
+}} catch (e) {{
+  setInterval(tick, 1000);
+}}
+tick();
 </script>
 </body></html>"""
 
@@ -108,6 +128,9 @@ class DashboardState:
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        # server-push (SSE) support: sequence number bumped per frame
+        self.frame_seq = 0
+        self._frame_cv = threading.Condition()
 
     # ------------------------------------------------------------------
     def start(self) -> bool:
@@ -200,8 +223,20 @@ class DashboardState:
                 }
                 if encoded:
                     self.latest["image"] = encoded
+                with self._frame_cv:
+                    self.frame_seq += 1
+                    self._frame_cv.notify_all()
 
     # ------------------------------------------------------------------
+    def wait_for_frame(self, last_seq: int, timeout: float = 5.0) -> int:
+        """Block until a frame newer than last_seq exists (SSE push).
+
+        Returns the current sequence number (== last_seq on timeout)."""
+        with self._frame_cv:
+            self._frame_cv.wait_for(lambda: self.frame_seq > last_seq,
+                                    timeout=timeout)
+            return self.frame_seq
+
     def snapshot_latest(self) -> Dict[str, Any]:
         with self._lock:
             out = dict(self.latest)
@@ -239,8 +274,44 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/metrics":
             self._send(200, registry.prometheus_text().encode(),
                        "text/plain; version=0.0.4")
+        elif self.path == "/api/stream":
+            self._stream_events()
         else:
             self._json({"error": "not found"}, 404)
+
+    def _stream_events(self) -> None:
+        """Server-Sent Events push: one event per processed frame.
+
+        The reference dashboard polls at 1 Hz (dashboard.py:322-397); this
+        push channel delivers every frame with no polling — EventSource in
+        the browser, or any HTTP client reading the stream."""
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        seq = 0
+        try:
+            while True:
+                new_seq = self.state.wait_for_frame(seq, timeout=2.0)
+                if new_seq == seq:
+                    if not self.state.running:
+                        # keep the stream alive while idle, but let the
+                        # client know (SSE comment = keepalive)
+                        self.wfile.write(b": idle\n\n")
+                        self.wfile.flush()
+                        continue
+                    self.wfile.write(b": keepalive\n\n")
+                    self.wfile.flush()
+                    continue
+                seq = new_seq
+                payload = {"seq": seq,
+                           "latest": self.state.snapshot_latest(),
+                           "stats": self.state.snapshot_stats()}
+                self.wfile.write(b"data: " + json.dumps(payload).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            return  # client went away
 
     def do_POST(self):  # noqa: N802
         if self.path == "/api/start":

@@ -249,3 +249,42 @@ class TestAnomalyModel:
         assert score_bad > scores_good.max() * 2
         flags = det.is_anomalous(np.stack([good[17], bad]))
         assert not flags[0] and flags[1]
+
+
+class TestDashboardSSE:
+    def test_stream_pushes_frames(self):
+        # the push channel must deliver per-frame events (no polling):
+        # connect, start the line, read events off the raw socket.
+        import socket
+        from heimdall_tpu.serving.dashboard import DashboardServer
+        srv = DashboardServer(port=0, settings={"width": 64, "height": 48,
+                                                "batch_size": 2})
+        srv.start_background()
+        try:
+            sock = socket.create_connection(("127.0.0.1", srv.port),
+                                            timeout=10)
+            sock.sendall(b"GET /api/stream HTTP/1.1\r\n"
+                         b"Host: localhost\r\nAccept: text/event-stream\r\n"
+                         b"\r\n")
+            sock.settimeout(90)
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/api/start", data=b"",
+                    method="POST"), timeout=30).read()
+            buf = b""
+            events = []
+            while len(events) < 2:
+                chunk = sock.recv(65536)
+                assert chunk, "stream closed early"
+                buf += chunk
+                while b"\n\n" in buf:
+                    block, buf = buf.split(b"\n\n", 1)
+                    for line in block.splitlines():
+                        if line.startswith(b"data: "):
+                            events.append(json.loads(line[6:]))
+            sock.close()
+        finally:
+            srv.shutdown()
+        assert events[0]["seq"] < events[1]["seq"]
+        assert "stats" in events[0] and "latest" in events[0]
+        assert events[1]["stats"]["frames_processed"] >= 2
