@@ -55,6 +55,14 @@ class InspectionStation:
         self.inspector = None
         self.rejector = None
         self.repository = None
+        # optional live training-data capture (models/capture.py)
+        self.capture = None
+        capture_dir = config.get("capture_training_data")
+        if capture_dir:
+            from heimdall_tpu.models.capture import TrainingDataCapture
+            self.capture = TrainingDataCapture(
+                capture_dir,
+                sample_rate=config.get("capture_sample_rate", 0.05))
         inspector_type = config.get("inspector")
         if inspector_type:
             from heimdall_tpu.inspection.contamination_inspector import (
@@ -142,6 +150,8 @@ class InspectionStation:
                 if self.repository is not None:
                     for r in inspections:
                         self.repository.store(r)
+                if self.capture is not None:
+                    self.capture.add_batch(batch, inspections)
                 defect_count = sum(r.defect_count for r in inspections)
                 worst = max((d.confidence for r in inspections
                              for d in r.defects), default=0.0)

@@ -5,3 +5,6 @@ from heimdall_tpu.models.defect_classifier import (
     extract_blob_patches,
 )
 from heimdall_tpu.models.anomaly import AnomalyDetector
+from heimdall_tpu.models.segmentation import (DefectSegmenter,
+                                              SegmentationDetector)
+from heimdall_tpu.models.capture import TrainingDataCapture
