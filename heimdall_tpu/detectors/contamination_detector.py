@@ -88,20 +88,27 @@ def contamination_program(images: jnp.ndarray,
     if tiled_band > 0:
         from heimdall_tpu.ops import ccl_tiled
         interp = jax.default_backend() == "cpu"
-        sweeps = ccl_sweeps if ccl_sweeps > 0 else 6
+        # adaptive mode: 2 initial sweeps + fixpoint-checked continuation,
+        # exact for any geometry.  Production scenes converge immediately,
+        # so this runs ~1/3 the sweep cost of the old fixed 6.
         mask = ccl_tiled.fill_holes_tiled(binary > 0, band=tiled_band,
-                                          sweeps=sweeps, interpret=interp)
+                                          sweeps=2, adaptive=True,
+                                          interpret=interp)
         labels, root_table, root_count = ccl_tiled.connected_components_tiled(
-            mask, connectivity=8, band=tiled_band, sweeps=sweeps,
+            mask, connectivity=8, band=tiled_band, sweeps=2, adaptive=True,
             interpret=interp, return_roots=max_blobs)
+        from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
+        table = blob_stats_tiled(labels, mask, gray, color, band=tiled_band,
+                                 max_blobs=max_blobs, use_color=use_color,
+                                 root_table=root_table,
+                                 root_count=root_count, interpret=interp)
     else:
         mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
         labels = ops.connected_components(mask, connectivity=8,
                                           sweeps=ccl_sweeps)
-    table = blobs_mod.blob_stats(labels, mask, gray, color,
-                                 max_blobs=max_blobs, use_color=use_color,
-                                 root_table=root_table,
-                                 root_count=root_count)
+        table = blobs_mod.blob_stats(labels, mask, gray, color,
+                                     max_blobs=max_blobs,
+                                     use_color=use_color)
     if formula == "native":
         conf = blobs_mod.confidence_native(table)
     else:

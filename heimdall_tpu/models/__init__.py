@@ -8,3 +8,4 @@ from heimdall_tpu.models.anomaly import AnomalyDetector
 from heimdall_tpu.models.segmentation import (DefectSegmenter,
                                               SegmentationDetector)
 from heimdall_tpu.models.capture import TrainingDataCapture
+from heimdall_tpu.models.quantized import QuantizedSegmenter

@@ -59,7 +59,8 @@ def _neighbor_min(lab, sentinel, connectivity):
 
 
 def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
-                          roots_cap=0, n_bands=1):
+                          roots_cap=0, n_bands=1, continuation=False,
+                          emit_flag=False):
     """Label one [Th, W] band with global linear indices (band-local
     connectivity only; the merge step joins bands).
 
@@ -67,16 +68,37 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
     component roots in raster order plus the exact root count — recovered
     in VMEM for the price of two prefix sums, so callers never need a
     top_k over the full label image to build blob tables.
+
+    With continuation=True the kernel takes the current label band as a
+    second input and runs ``sweeps`` more sweeps from it instead of from
+    the linear-index seed — the adaptive path reruns this until the
+    fixpoint check passes.
+
+    With emit_flag=True the kernel also writes a per-band convergence
+    flag (1 iff one more neighbor-min step would change nothing) — one
+    extra neighbor-min in VMEM, far cheaper than an XLA fixpoint pass
+    over the label image in HBM.
     """
 
-    def kernel(mask_ref, lab_ref, *root_refs):
+    def kernel(mask_ref, *rest):
+        if continuation:
+            init_ref, lab_ref, *extra_refs = rest
+        else:
+            lab_ref, *extra_refs = rest
+            init_ref = None
+        if emit_flag:
+            flag_ref = extra_refs[-1]
+            root_refs = extra_refs[:-1]
+        else:
+            root_refs = extra_refs
         r = pl.program_id(1)
         # load as int32 before any compare — Mosaic rejects unsigned i8 cmp
         fg = mask_ref[0].astype(jnp.int32)  # 0/1 plane
         row = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 0) + r * Th
         col = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 1)
         lin = row * W + col
-        lab0 = jnp.where(fg > 0, lin, sentinel)
+        lab0 = (init_ref[0] if continuation
+                else jnp.where(fg > 0, lin, sentinel))
 
         bg = 1 - fg
         fg_t = jnp.transpose(fg)
@@ -98,6 +120,23 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
 
         lab = jax.lax.fori_loop(0, sweeps, body, lab0)
         lab_ref[0] = lab
+
+        if emit_flag:
+            nm = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
+                                                 connectivity), sentinel)
+            changed = jnp.max(jnp.where((fg > 0) & (nm < lab), 1, 0))
+            # [1, R, 1] whole-frame block (same across r steps; row r set
+            # via iota mask — a (1, 1) block breaks Mosaic's tiling rule)
+            row_sel = (jax.lax.broadcasted_iota(jnp.int32, (n_bands, 1), 0)
+                       == r)
+
+            @pl.when(r == 0)
+            def _():
+                flag_ref[0] = jnp.zeros((n_bands, 1), jnp.int32)
+
+            flag_ref[0] = jnp.where(
+                row_sel, jnp.full((n_bands, 1), 1 - changed, jnp.int32),
+                flag_ref[0])
 
         if roots_cap:
             # [1, R, cap] / [1, R, 1] blocks stay VMEM-resident across the
@@ -143,24 +182,29 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
     return kernel
 
 
-def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0):
-    """Band-local labels for a [B, H, W] bool mask (padded to full bands).
+def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
+                   sentinel, init=None, emit_flag=False):
+    """One band-CCL pallas_call over padded inputs.
 
-    Returns labels, or (labels, band_roots [B, R, cap], counts [B, R])
-    when roots_cap > 0.
+    ``m`` is uint8 [B, Hp, W] (Hp a multiple of ``band``); ``init``, when
+    given, is the current padded label image to continue sweeping from.
+    Returns [labels] (+ [band_roots, counts] with roots_cap) (+ [flags
+    [B, R] i32] with emit_flag — always last) — all padded shapes.
     """
-    B, H, W = mask.shape
-    R = -(-H // band)
-    Hp = R * band
-    sentinel = H * W  # real pixels never exceed this; pad rows are bg
-    m = mask.astype(jnp.uint8)
-    if Hp != H:
-        m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
-
+    B, Hp, W = m.shape
+    R = Hp // band
     kernel = _make_band_ccl_kernel(band, W, sentinel, connectivity, sweeps,
-                                   roots_cap, n_bands=R)
-    out_specs = [pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
-                              memory_space=pltpu.VMEM)]
+                                   roots_cap, n_bands=R,
+                                   continuation=init is not None,
+                                   emit_flag=emit_flag)
+    band_spec = pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [band_spec]
+    args = [m]
+    if init is not None:
+        in_specs.append(band_spec)
+        args.append(init)
+    out_specs = [band_spec]
     out_shape = [jax.ShapeDtypeStruct((B, Hp, W), jnp.int32)]
     if roots_cap:
         # whole-frame-resident [1, R, cap] blocks (same block across the r
@@ -174,17 +218,106 @@ def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0):
         ]
         out_shape += [jax.ShapeDtypeStruct((B, R, roots_cap), jnp.int32),
                       jax.ShapeDtypeStruct((B, R, 1), jnp.int32)]
-    out = pl.pallas_call(
+    if emit_flag:
+        out_specs.append(pl.BlockSpec((1, R, 1), lambda b, r: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, R, 1), jnp.int32))
+    return pl.pallas_call(
         kernel,
         grid=(B, R),
-        in_specs=[pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(m)
+    )(*args)
+
+
+def _xla_shift(x, s, axis, fill):
+    """out[i] = x[i-s] along ``axis`` with constant fill (plain XLA)."""
+    if s == 0:
+        return x
+    size = x.shape[axis]
+    a = abs(s)
+    pad_shape = list(x.shape)
+    pad_shape[axis] = a
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    if s > 0:
+        body = jax.lax.slice_in_dim(x, 0, size - a, axis=axis)
+        return jnp.concatenate([pad, body], axis=axis)
+    body = jax.lax.slice_in_dim(x, a, size, axis=axis)
+    return jnp.concatenate([body, pad], axis=axis)
+
+
+def _band_fixpoint(lab_p, band, connectivity, sentinel):
+    """True iff the padded label image is a fixpoint of one band-local
+    neighbor-min step — i.e. the band kernels' sweeps have fully converged.
+
+    Sweeps are compositions of neighbor-min propagation steps, so a
+    one-step fixpoint is a fixpoint of any further sweeping; and min
+    propagation seeded from linear indices converges exactly to the
+    band-local component minima.  This check is what makes the adaptive
+    sweep count *exact*: typical frames stop after the cheap initial
+    sweeps, pathological geometry (spirals) keeps sweeping until done.
+    """
+    B, Hp, W = lab_p.shape
+    R = Hp // band
+    v = lab_p.reshape(B, R, band, W)
+    fg = v < sentinel
+    if connectivity == 8:
+        row = jnp.minimum(v, jnp.minimum(_xla_shift(v, 1, 3, sentinel),
+                                         _xla_shift(v, -1, 3, sentinel)))
+        nm = jnp.minimum(row, jnp.minimum(_xla_shift(row, 1, 2, sentinel),
+                                          _xla_shift(row, -1, 2, sentinel)))
+    else:
+        nm = jnp.minimum(
+            jnp.minimum(_xla_shift(v, 1, 3, sentinel),
+                        _xla_shift(v, -1, 3, sentinel)),
+            jnp.minimum(_xla_shift(v, 1, 2, sentinel),
+                        _xla_shift(v, -1, 2, sentinel)))
+    return ~jnp.any((nm < v) & fg)
+
+
+def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
+              adaptive=False, cont_sweeps=2):
+    """Band-local labels for a [B, H, W] bool mask (padded to full bands).
+
+    Returns labels, or (labels, band_roots [B, R, cap], counts [B, R])
+    when roots_cap > 0.
+
+    With adaptive=True, ``sweeps`` is only the initial count: a band-local
+    fixpoint check follows, and non-converged frames keep running
+    ``cont_sweeps``-sweep continuation kernels until exact — so callers
+    can default to the cheap typical case without giving up exactness on
+    pathological masks.
+    """
+    B, H, W = mask.shape
+    R = -(-H // band)
+    Hp = R * band
+    sentinel = H * W  # real pixels never exceed this; pad rows are bg
+    m = mask.astype(jnp.uint8)
+    if Hp != H:
+        m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
+
+    out = _band_ccl_call(m, connectivity, band, sweeps, interpret,
+                         roots_cap, sentinel, emit_flag=adaptive)
+
+    if adaptive:
+        # the kernels emit per-band convergence flags in VMEM (an extra
+        # neighbor-min, ~free); keep sweeping until every band fixpoints
+        def cond(carry):
+            return jnp.min(carry[-1]) < 1
+
+        def body(carry):
+            lab = carry[0]
+            nxt = _band_ccl_call(m, connectivity, band, cont_sweeps,
+                                 interpret, roots_cap, sentinel, init=lab,
+                                 emit_flag=True)
+            return tuple(nxt)
+
+        out = list(jax.lax.while_loop(cond, body, tuple(out)))[:-1]
+
     if roots_cap:
         return out[0][:, :H], out[1], out[2][..., 0]
     return out[0][:, :H]
@@ -272,6 +405,50 @@ def _resolve_roots(u, a, b, iters):
 # so the cap costs nothing — it only bounds the prepared pair table.
 _MAX_CHANGED = 1024
 
+# distinct-edge budget for the small merge tier.  Production frames have a
+# handful of distinct cross-band pairs; on that domain the union-find runs
+# as broadcast compares ([B, 2C, C] masks) with NO gathers or searches —
+# TPU gathers stream at ~70M elem/s, so the 1024-wide gather/searchsorted
+# machinery of the general tier costs ~1.5 ms/frame while this tier is
+# effectively free.
+_SMALL_CAP = 128
+
+
+def _resolve_small(u, a, b):
+    """Gather-free union-find over a tiny sorted domain ``u`` [B, U].
+
+    Edge endpoints a/b [B, E] (big-padded).  Min-propagation with value
+    jumping, every step expressed as masked broadcast reductions; loops to
+    the exact fixpoint (monotone decreasing on a finite lattice).
+    Returns per-position root values, canonical across duplicates.
+    """
+    big = jnp.int32(2**30)
+    am = u[:, :, None] == a[:, None, :]          # [B, U, E]
+    bm = u[:, :, None] == b[:, None, :]
+    abm = am | bm
+
+    def step(r):
+        ra = jnp.min(jnp.where(am, r[:, :, None], big), axis=1)   # [B, E]
+        rb = jnp.min(jnp.where(bm, r[:, :, None], big), axis=1)
+        m = jnp.minimum(ra, rb)
+        upd = jnp.min(jnp.where(abm, m[:, None, :], big), axis=2)
+        r = jnp.minimum(r, upd)
+        for _ in range(2):        # value jump: r_i <- min r over holders of r_i
+            jm = u[:, :, None] == r[:, None, :]                   # [B, U, U]
+            r = jnp.min(jnp.where(jm, r[:, :, None], big), axis=1)
+        return r
+
+    r1 = step(u)
+    carry = (r1, jnp.all(r1 == u))
+
+    def body(c):
+        r, _ = c
+        r2 = step(r)
+        return r2, jnp.all(r2 == r)
+
+    r, _ = jax.lax.while_loop(lambda c: ~c[1], body, carry)
+    return r
+
 
 def _changed_pairs(u, roots, cap):
     """Compact (old, new) pairs where the merge changed a label. [B, cap]."""
@@ -306,6 +483,15 @@ def _apply_pairs(labels, old, new, n_changed):
     return out.reshape(B, H, W)
 
 
+def _pad_pairs(x, fill):
+    """Pad a changed-pair table out to the _MAX_CHANGED capacity so the
+    merge tiers produce identical shapes for lax.cond."""
+    pad = _MAX_CHANGED - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+
+
 def _merge_prep(labels, band, connectivity, sentinel, iters):
     """Shared merge machinery: dedup/compact the interface edges, resolve
     the union-find, extract changed pairs.  Returns everything both the
@@ -314,31 +500,67 @@ def _merge_prep(labels, band, connectivity, sentinel, iters):
     Dedup matters: a large component (e.g. the scene background during
     hole filling) produces an edge per interface pixel but only ONE
     distinct root pair per band crossing, so distinct pairs stay tiny for
-    any realistic mask.  _MAX_CHANGED caps the pathological case; the
-    cond in the callers keeps that exact too.
+    any realistic mask.  Two tiers exploit that:
+
+    * **small** (run-start marks <= _SMALL_CAP, the production case):
+      adjacent duplicate pairs along each boundary collapse via one
+      shift-compare — no full-domain value sort — and the union-find runs
+      gather-free on the tiny compacted domain (_resolve_small).
+      Duplicate pairs that survive run dedup are harmless (same union).
+    * **general** (<= _MAX_CHANGED distinct): full sort-based dedup +
+      the positional union-find.  Beyond that, callers fall back to the
+      dense-gather remap — exact at every tier.
     """
     a, b = _interface_edges(labels, band, connectivity, sentinel)
     cap = _MAX_CHANGED
     big = jnp.int32(2**30)
     trivial = (a >= sentinel) | (b >= sentinel) | (a == b)
-    lo = jnp.where(trivial, big, jnp.minimum(a, b))
-    hi = jnp.where(trivial, big, jnp.maximum(a, b))
-    lo, hi = jax.lax.sort((lo, hi), dimension=-1, num_keys=2)
-    distinct = ((lo < big)
-                & jnp.concatenate(
-                    [jnp.ones_like(lo[:, :1], bool),
-                     (lo[:, 1:] != lo[:, :-1]) | (hi[:, 1:] != hi[:, :-1])],
-                    axis=-1))
-    n_edges = jnp.sum(distinct, axis=-1)
-    order = jnp.argsort(~distinct, axis=-1, stable=True)[:, :cap]
-    keep = jnp.take_along_axis(distinct, order, axis=-1)
-    a_c = jnp.where(keep, jnp.take_along_axis(lo, order, axis=-1), big)
-    b_c = jnp.where(keep, jnp.take_along_axis(hi, order, axis=-1), big)
+    lo0 = jnp.where(trivial, big, jnp.minimum(a, b))
+    hi0 = jnp.where(trivial, big, jnp.maximum(a, b))
 
-    u = jnp.sort(jnp.concatenate([a_c, b_c], axis=-1), axis=-1)
-    roots = _resolve_roots(u, a_c, b_c, iters)
-    roots = jnp.where(u < big, roots, u)     # padding stays itself
-    old, new, n_changed = _changed_pairs(u, roots, cap)
+    # run-start marks: cheap upper bound on the distinct pair count
+    prev_lo = jnp.concatenate([jnp.full_like(lo0[:, :1], big),
+                               lo0[:, :-1]], axis=-1)
+    prev_hi = jnp.concatenate([jnp.full_like(hi0[:, :1], big),
+                               hi0[:, :-1]], axis=-1)
+    mark = (lo0 < big) & ((lo0 != prev_lo) | (hi0 != prev_hi))
+    n_marks = jnp.sum(mark, axis=-1)
+
+    def small_branch(_):
+        C = _SMALL_CAP
+        order = jnp.argsort(~mark, axis=-1, stable=True)[:, :C]
+        keep = jnp.take_along_axis(mark, order, axis=-1)
+        a_c = jnp.where(keep, jnp.take_along_axis(lo0, order, axis=-1), big)
+        b_c = jnp.where(keep, jnp.take_along_axis(hi0, order, axis=-1), big)
+        u = jnp.sort(jnp.concatenate([a_c, b_c], axis=-1), axis=-1)
+        roots = _resolve_small(u, a_c, b_c)
+        roots = jnp.where(u < big, roots, u)
+        old, new, n_changed = _changed_pairs(u, roots, cap)
+        return _pad_pairs(old, big), _pad_pairs(new, big), n_changed, n_marks
+
+    def general_branch(_):
+        lo, hi = jax.lax.sort((lo0, hi0), dimension=-1, num_keys=2)
+        distinct = ((lo < big)
+                    & jnp.concatenate(
+                        [jnp.ones_like(lo[:, :1], bool),
+                         (lo[:, 1:] != lo[:, :-1])
+                         | (hi[:, 1:] != hi[:, :-1])],
+                        axis=-1))
+        n_edges = jnp.sum(distinct, axis=-1)
+        order = jnp.argsort(~distinct, axis=-1, stable=True)[:, :cap]
+        keep = jnp.take_along_axis(distinct, order, axis=-1)
+        a_c = jnp.where(keep, jnp.take_along_axis(lo, order, axis=-1), big)
+        b_c = jnp.where(keep, jnp.take_along_axis(hi, order, axis=-1), big)
+
+        u = jnp.sort(jnp.concatenate([a_c, b_c], axis=-1), axis=-1)
+        roots = _resolve_roots(u, a_c, b_c, iters)
+        roots = jnp.where(u < big, roots, u)     # padding stays itself
+        old, new, n_changed = _changed_pairs(u, roots, cap)
+        return _pad_pairs(old, big), _pad_pairs(new, big), n_changed, n_edges
+
+    old, new, n_changed, n_edges = jax.lax.cond(
+        jnp.max(n_marks) <= _SMALL_CAP, small_branch, general_branch,
+        operand=None)
     return dict(a=a, b=b, trivial=trivial, n_edges=n_edges, cap=cap,
                 old=old, new=new, n_changed=n_changed, iters=iters)
 
@@ -444,11 +666,13 @@ def _merge_with_roots(labels, band_roots, counts, band, connectivity,
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "band",
                                              "sweeps", "merge_iters",
-                                             "interpret", "return_roots"))
+                                             "interpret", "return_roots",
+                                             "adaptive"))
 def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
                                sweeps: int = 6, merge_iters: int = 0,
                                interpret: bool = False,
-                               return_roots: int = 0):
+                               return_roots: int = 0,
+                               adaptive: bool = False):
     """Drop-in for ops.ccl.connected_components on [B, H, W] bool masks.
 
     Identical output contract (labels = linear index of the component's
@@ -458,6 +682,10 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     K component root indices in raster order, padded with H*W — and
     n_blobs [B]), recovered from the band kernels' per-band root tables so
     blob_stats skips its full-image top_k.
+
+    With adaptive=True, ``sweeps`` becomes the initial count and a
+    fixpoint check + continuation kernels guarantee exactness — callers
+    can pass sweeps=2 for typical scenes at no correctness risk.
     """
     squeeze = mask.ndim == 2
     if squeeze:
@@ -465,7 +693,8 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     B, H, W = mask.shape
     sentinel = H * W
     if not return_roots:
-        lab = _band_ccl(mask, connectivity, band, sweeps, interpret)
+        lab = _band_ccl(mask, connectivity, band, sweeps, interpret,
+                        adaptive=adaptive)
         lab = _merge_band_labels(lab, band, connectivity, sentinel,
                                  merge_iters)
         return lab[0] if squeeze else lab
@@ -476,7 +705,8 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     # > cap_b roots in one band falls back to a top_k
     lab, band_roots, counts = _band_ccl(mask, connectivity, band, sweeps,
                                         interpret,
-                                        roots_cap=max(K, 128))
+                                        roots_cap=max(K, 128),
+                                        adaptive=adaptive)
     lab, rl, n_blobs = _merge_with_roots(lab, band_roots, counts, band,
                                          connectivity, sentinel, K,
                                          merge_iters)
@@ -486,9 +716,11 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("band", "sweeps",
-                                             "merge_iters", "interpret"))
+                                             "merge_iters", "interpret",
+                                             "adaptive"))
 def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
-                     merge_iters: int = 0, interpret: bool = False):
+                     merge_iters: int = 0, interpret: bool = False,
+                     adaptive: bool = False):
     """Drop-in for ops.ccl.fill_holes on [B, H, W] bool masks.
 
     Background components (4-connected — complementary to the 8-connected
@@ -499,7 +731,7 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
         mask = mask[None]
     B, H, W = mask.shape
     sentinel = H * W
-    bg_lab = _band_ccl(~mask, 4, band, sweeps, interpret)
+    bg_lab = _band_ccl(~mask, 4, band, sweeps, interpret, adaptive=adaptive)
     bg_lab = _merge_band_labels(bg_lab, band, 4, sentinel, merge_iters)
 
     # border-reachable = label belongs to the set T of border-touching

@@ -176,6 +176,55 @@ def test_merge_overflow_falls_back_to_exact_path():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_adaptive_exact_on_percolating_masks(connectivity):
+    # High-density random masks percolate: no fixed sweep budget suffices.
+    # adaptive=True must still match the XLA while-loop fixpoint exactly
+    # even from a single initial sweep.
+    masks = _random_masks(2, 64, 96, seed=41, density=0.55)
+    ref = ccl.connected_components(jnp.asarray(masks),
+                                   connectivity=connectivity)
+    got = connected_components_tiled(jnp.asarray(masks),
+                                     connectivity=connectivity, band=16,
+                                     sweeps=1, adaptive=True,
+                                     interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_adaptive_spiral_one_initial_sweep():
+    m = _spiral(64, 64)[None]
+    ref = ccl.connected_components(jnp.asarray(m))
+    got = connected_components_tiled(jnp.asarray(m), band=16, sweeps=1,
+                                     adaptive=True, interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_adaptive_fill_holes_exact():
+    masks = _random_masks(2, 64, 96, seed=7, density=0.5)
+    ref = ccl.fill_holes(jnp.asarray(masks))
+    got = fill_holes_tiled(jnp.asarray(masks), band=16, sweeps=1,
+                           adaptive=True, interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_adaptive_return_roots_exact():
+    masks = _random_masks(2, 48, 64, seed=13, density=0.5)
+    lab_ref = ccl.connected_components(jnp.asarray(masks))
+    lab, rl, n = connected_components_tiled(
+        jnp.asarray(masks), band=16, sweeps=1, adaptive=True,
+        interpret=INTERP, return_roots=8)
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab_ref))
+    lab_np = np.asarray(lab_ref)
+    h, w = 48, 64
+    for i in range(2):
+        lin = np.arange(h * w).reshape(h, w)
+        roots = np.sort(lin[(lab_np[i] == lin) & masks[i]])
+        assert int(np.asarray(n)[i]) == roots.size
+        want = np.full(8, h * w)
+        want[:min(8, roots.size)] = roots[:8]
+        np.testing.assert_array_equal(np.asarray(rl)[i], want)
+
+
 def test_return_roots_matches_topk():
     rng = np.random.RandomState(5)
     h, w = 64, 96

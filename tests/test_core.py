@@ -261,7 +261,9 @@ class TestInspectorStation:
         assert station.inspector is not None
         assert station.rejector is not None
         system.start()
-        deadline = time.time() + 30
+        # generous deadline: the loop exits on the first detection, but a
+        # loaded CI machine can take >30 s just to jit the batch shape
+        deadline = time.time() + 120
         while time.time() < deadline:
             if station.defects_detected > 0:
                 break
