@@ -4,8 +4,9 @@
 Reproduces BASELINE.json config #3 (the headline metric): N-frame batched
 contamination inspection — grayscale → Gaussian blur → adaptive threshold →
 morphology → connected-component labeling → per-blob defect stats — on
-640x480 BGR frames.  Default batch 256: ~0.65 ms of device time per frame,
-per-frame p99 latency ~7 ms (inside the reference's 10 ms deadline).
+640x480 BGR frames.  Default batch 256: ~0.4 ms of device time per frame
+with the adaptive fixpoint kernels (~2500 fps/chip), per-frame p99 latency
+~3 ms (inside the reference's 10 ms deadline).
 
 Baseline for vs_baseline: the reference line's design throughput of
 100 frames/sec (90,000 BPH = 25 bottles/s across 4 cameras — README.md:3,

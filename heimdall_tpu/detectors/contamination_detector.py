@@ -143,10 +143,17 @@ class ContaminationDetector(DefectDetector):
         # area, pixel centroid) with bit-exact polygon geometry traced
         # host-side per accepted blob, and re-applies gates with it.
         self.exact_geometry = self.config.get("exact_geometry", False)
-        # Fixed propagation sweeps (0 = loop to fixpoint).  6 resolves
-        # every shape in the parity suite including JPEG-noise blobs (which
-        # need 5); raise or set 0 for pathological mask geometry.
-        self.ccl_sweeps = self.config.get("ccl_sweeps", 6)
+        # Propagation sweeps for the whole-frame XLA path (0 = loop to
+        # fixpoint — the default: a fixed budget is a correctness hazard.
+        # TPU measurement found bench-scene frames where 6 sweeps split one
+        # component in two; only fixpoint modes are exact for every
+        # geometry).  Set > 0 only to pin a known-sufficient budget.
+        self.ccl_sweeps = self.config.get("ccl_sweeps", 0)
+        # Adaptive fixpoint loops inside the fused Pallas kernels: exact
+        # for any geometry and ~2x faster than the old fixed 6 sweeps on
+        # the bench scene (the loop exits as soon as a cheap neighbor-min
+        # check certifies convergence).
+        self.ccl_adaptive = self.config.get("ccl_adaptive", True)
         # Compute backend: "xla" composes the ops library (fast compiles,
         # runs anywhere); "pallas" uses the fused VMEM-resident kernels
         # (ops/pallas_kernels.py — ~4x faster steady-state on a v5e but
@@ -188,14 +195,22 @@ class ContaminationDetector(DefectDetector):
                 float(self.max_contaminant_size),
                 float(self.min_confidence),
                 max_blobs=self.max_blobs, use_color=self.use_color,
-                formula=self.formula, sweeps=max(self.ccl_sweeps, 1))
-        # Large frames route to the band-tiled Pallas CCL on accelerator
+                formula=self.formula, sweeps=max(self.ccl_sweeps, 1),
+                adaptive=self.ccl_adaptive)
+        # Large WORKLOADS route to the band-tiled Pallas CCL on accelerator
         # platforms for BOTH backends: it is ~2x faster than the whole-frame
-        # XLA scans there, and the XLA scan path miscompiles on TPU at large
-        # batchxframe shapes (observed at [16,1080,1920]: foreground pixels
-        # lost; CPU XLA, cv2 and the tiled path all agree — see ROADMAP).
+        # XLA scans there, and the XLA scan path miscompiles on TPU once the
+        # label image gets big — observed at [16,1080,1920] AND at
+        # [32,480,640] (one blob's area off by a few px: foreground pixels
+        # lost; CPU XLA, cv2, and both Pallas paths all agree — see
+        # ROADMAP).  Smallest known-bad total is ~9.8M label elements;
+        # guard at 4M for margin.  Per-frame 0.4 MP stays as a second
+        # trigger (beyond it the whole-frame fused kernels blow VMEM).
         on_accel = jax.default_backend() != "cpu"
-        tiled_band = (256 if on_accel and frame_px > 400_000 else 0)
+        batch = images.shape[0] if images.ndim >= 3 else 1
+        tiled_band = (256 if on_accel and (frame_px > 400_000
+                                           or batch * frame_px > 4_000_000)
+                      else 0)
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),

@@ -195,12 +195,12 @@ def _neighbor_min8(lab, sentinel):
                                         _shift_const(row, -1, 0, sentinel)))
 
 
-def _ccl_sweeps(lab, fg, sentinel, sweeps):
+def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False):
     bg = 1 - fg
     fg_t = jnp.transpose(fg)
     bg_t = jnp.transpose(bg)
 
-    def body(_, lab):
+    def sweep(lab):
         lab = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
         lab = _seg_min_scan(lab, bg, 1, False, sentinel)
         lab = _seg_min_scan(lab, bg, 1, True, sentinel)
@@ -213,22 +213,43 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps):
         lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
         return jnp.transpose(lab_t)
 
-    return jax.lax.fori_loop(0, sweeps, body, lab)
+    if not adaptive:
+        return jax.lax.fori_loop(0, sweeps, lambda _, l: sweep(l), lab)
+
+    # Adaptive: sweep until a neighbor-min fixpoint.  At such a fixpoint
+    # every adjacent fg pair satisfies lab[a] <= lab[b] AND lab[b] <= lab[a]
+    # (min-with-self never increases) — i.e. labels are constant per
+    # component, so the check certifies FULL convergence for ~4 shifts,
+    # a rounding error next to a sweep's ~40.  Exact for any geometry;
+    # typical scenes stop after 2-3 sweeps versus the fixed 6.
+    def cond(carry):
+        return carry[1] > 0
+
+    def body(carry):
+        lab = sweep(carry[0])
+        nm = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
+        changed = jnp.max(jnp.where(nm < lab, 1, 0))
+        return lab, changed
+
+    return jax.lax.while_loop(cond, body, (lab, jnp.int32(1)))[0]
 
 
-def _fill_holes_sweeps(fg, border, sweeps):
+def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
     """Returns filled foreground (int32 0/1)."""
     bg = 1 - fg
 
     bg_t = jnp.transpose(bg)
     fg_t = jnp.transpose(fg)
 
-    def body(_, ext):
+    def grow4(ext):
         grown = ext
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             grown = grown | _shift_const(_shift_const(ext, dy, 0, 0),
                                          dx, 1, 0)
-        ext = grown & bg
+        return grown & bg
+
+    def sweep(ext):
+        ext = grow4(ext)
         ext = _seg_or_scan(ext, fg, 1, False) & bg
         ext = _seg_or_scan(ext, fg, 1, True) & bg
         ext_t = jnp.transpose(ext)
@@ -236,7 +257,23 @@ def _fill_holes_sweeps(fg, border, sweeps):
         ext_t = _seg_or_scan(ext_t, fg_t, 1, True) & bg_t
         return jnp.transpose(ext_t)
 
-    ext = jax.lax.fori_loop(0, sweeps, body, bg * border)
+    if not adaptive:
+        ext = jax.lax.fori_loop(0, sweeps, lambda _, e: sweep(e),
+                                bg * border)
+        return 1 - ext
+
+    # Adaptive: grow to the exterior-flood fixpoint.  Growth is a monotone
+    # OR-propagation, so "one 4-neighbour dilation adds nothing" certifies
+    # the flood is complete — 4 shifts per check versus ~40 per sweep.
+    def cond(carry):
+        return carry[1] > 0
+
+    def body(carry):
+        ext = sweep(carry[0])
+        changed = jnp.max(grow4(ext) & (1 - ext))
+        return ext, changed
+
+    ext = jax.lax.while_loop(cond, body, (bg * border, jnp.int32(1)))[0]
     return 1 - ext
 
 
@@ -244,7 +281,7 @@ def _fill_holes_sweeps(fg, border, sweeps):
 # the fused kernel
 # ---------------------------------------------------------------------------
 
-def _make_label_kernel(H, W, K, sweeps):
+def _make_label_kernel(H, W, K, sweeps, adaptive=False):
     """Kernel A: frame → CCL labels (int32; background = H*W).
 
     Runs preprocess (gray → Q8 blur5 → float adaptive-11 threshold → open →
@@ -253,6 +290,9 @@ def _make_label_kernel(H, W, K, sweeps):
     propagated — the stats kernel recovers slot k's membership by looking
     up the k-th root's label value (two cheap reductions per slot), which
     removes a third of this kernel's sweep cost.
+
+    adaptive=True replaces the fixed sweep counts with in-VMEM fixpoint
+    loops (exact for any geometry, and fewer sweeps on typical scenes).
     """
     sentinel = H * W
     taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
@@ -279,10 +319,10 @@ def _make_label_kernel(H, W, K, sweeps):
 
         border = ((row_idx == 0) | (row_idx == H - 1)
                   | (col_idx == 0) | (col_idx == W - 1)).astype(jnp.int32)
-        fg = _fill_holes_sweeps(fg0, border, sweeps)
+        fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
         lin = row_idx * W + col_idx
         lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg, sentinel,
-                          sweeps)
+                          sweeps, adaptive=adaptive)
         lab_ref[0] = lab
 
     return kernel
@@ -382,10 +422,10 @@ def _make_stats_kernel(H, W, K):
 
 
 @functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
-                                             "interpret"))
+                                             "interpret", "adaptive"))
 def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          max_blobs: int = 64, sweeps: int = 6,
-                         interpret: bool = False):
+                         interpret: bool = False, adaptive: bool = False):
     """Run the fused two-kernel pipeline over a [B, H, W, 3] uint8 batch.
 
     Kernel A labels (VMEM-resident preprocess + fill + CCL, one uint8
@@ -401,7 +441,7 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
     cm = jnp.transpose(frames, (0, 3, 1, 2))   # channel-major for tiling
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
 
-    label_kernel = _make_label_kernel(H, W, K, sweeps)
+    label_kernel = _make_label_kernel(H, W, K, sweeps, adaptive=adaptive)
     gs_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -462,7 +502,7 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
 
 def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
                       use_color: bool = True, sweeps: int = 6,
-                      interpret: bool = False):
+                      interpret: bool = False, adaptive: bool = False):
     """Fused-kernel equivalent of ops.blobs.blob_stats for the
     contamination pipeline: runs the kernel and assembles a BlobTable
     (same field semantics as the XLA path — tests/test_pallas_kernels.py
@@ -472,7 +512,7 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
 
     sums, bbox, bgsum, n_blobs = contamination_pallas(
         frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
-        interpret=interpret)
+        interpret=interpret, adaptive=adaptive)
 
     area_px_f = sums[:, S_ONES]
     area_px = area_px_f.astype(jnp.int32)
@@ -521,12 +561,13 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
 
 @functools.partial(jax.jit, static_argnames=("max_blobs", "use_color",
                                              "formula", "sweeps",
-                                             "interpret"))
+                                             "interpret", "adaptive"))
 def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 max_size, min_confidence,
                                 max_blobs: int = 64, use_color: bool = True,
                                 formula: str = "python", sweeps: int = 6,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                adaptive: bool = False):
     """One-dispatch detection: fused kernels + confidence + gating.
 
     Returns (BlobTable, confidence [B,K], accepted [B,K]) — the same
@@ -538,7 +579,8 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
 
     table = pallas_blob_table(frames, contrast_threshold,
                               max_blobs=max_blobs, use_color=use_color,
-                              sweeps=sweeps, interpret=interpret)
+                              sweeps=sweeps, interpret=interpret,
+                              adaptive=adaptive)
     conf = (blobs_mod.confidence_native(table) if formula == "native"
             else blobs_mod.confidence_python(table))
     accepted = (table.valid

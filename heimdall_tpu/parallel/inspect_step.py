@@ -284,7 +284,8 @@ def make_line_step(mesh: Mesh, max_blobs: int = 64, use_color: bool = True):
 def make_pallas_data_parallel_step(mesh: Mesh, max_blobs: int = 64,
                                    use_color: bool = True,
                                    formula: str = "python",
-                                   sweeps: int = 6,
+                                   sweeps: int = 1,
+                                   adaptive: bool = True,
                                    interpret: bool = False):
     """Data-parallel multi-chip step over the FUSED Pallas kernels.
 
@@ -306,7 +307,7 @@ def make_pallas_data_parallel_step(mesh: Mesh, max_blobs: int = 64,
         return contamination_pallas_detect(
             frames, ct, mins, maxs, minc, max_blobs=max_blobs,
             use_color=use_color, formula=formula, sweeps=sweeps,
-            interpret=interpret)
+            adaptive=adaptive, interpret=interpret)
 
     sharded = shard_map(
         local_step, mesh=flat_mesh,
@@ -334,8 +335,9 @@ def make_tiled_data_parallel_step(mesh: Mesh, max_blobs: int = 64,
     The production layout for the reference's 2 MP cameras: frames too
     large for the whole-frame fused kernels shard over a flat "data" axis
     (the tiled path is per-frame independent — band kernels + interface
-    merge all stay chip-local), so a 2-chip slice covers the 4-camera
-    100 fps line with headroom (one v5e does ~80 fps of 2 MP frames).
+    merge all stay chip-local).  One v5e already does ~150 fps of 2 MP
+    frames — above the 4-camera 100 fps line — so sharding here is pure
+    headroom / multi-line capacity.
     Zero collectives; outputs come back sharded P("data").
 
     Place frames with ``shard_batch(mesh, frames, spatial=False)``.

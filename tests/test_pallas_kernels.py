@@ -114,3 +114,51 @@ def test_detector_pallas_backend_matches_xla():
         for da, db in zip(a, b):
             assert da.position == db.position
             assert abs(da.confidence - db.confidence) < 1e-4
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_pallas_adaptive_exact_on_noise(seed):
+    """adaptive=True must equal the XLA fixpoint (ccl_sweeps=0) even on
+    percolating masks, where no fixed sweep budget converges.  Raw noise
+    frames survive the open() as long tortuous components — the worst
+    case for propagation-count heuristics."""
+    interpret = jax.default_backend() == "cpu"
+    rng = np.random.RandomState(seed)
+    frames = jnp.asarray(rng.randint(0, 256, (2, 64, 128, 3)).astype(
+        np.uint8))
+    t_pl = pallas_blob_table(frames, 15, max_blobs=64, sweeps=1,
+                             adaptive=True, interpret=interpret)
+    t_xla, _, _ = contamination_program(
+        frames, jnp.int32(15), jnp.float32(0.0), jnp.float32(1e9),
+        jnp.float32(0.0), max_blobs=64, ccl_sweeps=0)
+    np.testing.assert_array_equal(np.asarray(t_pl.n_blobs),
+                                  np.asarray(t_xla.n_blobs))
+    np.testing.assert_array_equal(np.asarray(t_pl.valid),
+                                  np.asarray(t_xla.valid))
+    np.testing.assert_array_equal(np.asarray(t_pl.area_px),
+                                  np.asarray(t_xla.area_px))
+    for f in ("cx", "cy", "x", "y", "w", "h"):
+        np.testing.assert_array_equal(np.asarray(getattr(t_pl, f)),
+                                      np.asarray(getattr(t_xla, f)),
+                                      err_msg=f)
+    for f in ("intensity_score", "shape_score", "color_score"):
+        np.testing.assert_allclose(np.asarray(getattr(t_pl, f)),
+                                   np.asarray(getattr(t_xla, f)),
+                                   atol=1e-4, err_msg=f)
+
+
+def test_pallas_adaptive_matches_fixed_on_typical_scene():
+    """On the production-like scene the adaptive loop must reproduce the
+    fixed-6-sweep table (both converge; ordering identical)."""
+    interpret = jax.default_backend() == "cpu"
+    frames = jnp.asarray(_frames(n=2, h=64, w=128, seed=4))
+    t_a = pallas_blob_table(frames, 15, max_blobs=32, sweeps=1,
+                            adaptive=True, interpret=interpret)
+    t_f = pallas_blob_table(frames, 15, max_blobs=32, sweeps=6,
+                            interpret=interpret)
+    np.testing.assert_array_equal(np.asarray(t_a.area_px),
+                                  np.asarray(t_f.area_px))
+    np.testing.assert_array_equal(np.asarray(t_a.cx), np.asarray(t_f.cx))
+    np.testing.assert_array_equal(np.asarray(t_a.cy), np.asarray(t_f.cy))
+    np.testing.assert_array_equal(np.asarray(t_a.n_blobs),
+                                  np.asarray(t_f.n_blobs))

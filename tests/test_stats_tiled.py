@@ -1,0 +1,94 @@
+"""Banded Pallas blob-stats parity vs the XLA blob_stats.
+
+blob_stats_tiled (ops/stats_tiled.py) must reproduce ops.blobs.blob_stats
+field-for-field — blob_stats is itself OpenCV-parity (tests/test_blobs.py),
+so equality here carries the parity chain to the 2 MP path.  Runs in Pallas
+interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heimdall_tpu.ops import blobs as blobs_mod
+from heimdall_tpu.ops.ccl import connected_components, fill_holes
+from heimdall_tpu.ops.ccl_tiled import connected_components_tiled
+from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
+
+INTERP = jax.default_backend() == "cpu"
+
+
+def _scene(b, h, w, n_blobs, seed):
+    """Random blob scene: mask + gray + color frames."""
+    rng = np.random.RandomState(seed)
+    mask = np.zeros((b, h, w), bool)
+    yy, xx = np.ogrid[:h, :w]
+    for i in range(b):
+        for _ in range(n_blobs):
+            cy, cx = rng.randint(3, h - 3), rng.randint(3, w - 3)
+            r = rng.randint(2, 9)
+            mask[i] |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    color = rng.randint(0, 255, (b, h, w, 3)).astype(np.uint8)
+    gray = color.mean(axis=-1).astype(np.uint8)
+    return mask, gray, color
+
+
+def _tables_equal(t0, t1):
+    for f in t0._fields:
+        np.testing.assert_allclose(np.asarray(getattr(t0, f)),
+                                   np.asarray(getattr(t1, f)),
+                                   atol=1e-5, err_msg=f)
+
+
+@pytest.mark.parametrize("use_color", [True, False])
+@pytest.mark.parametrize("hw,band", [((64, 96), 16), ((50, 48), 16)])
+def test_stats_tiled_matches_xla(use_color, hw, band):
+    h, w = hw
+    mask, gray, color = _scene(2, h, w, 6, seed=h + use_color)
+    mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
+    labels = connected_components(mask)
+    _, rl, nb = connected_components_tiled(
+        mask, band=band, sweeps=2, adaptive=True, interpret=INTERP,
+        return_roots=16)
+    ref = blobs_mod.blob_stats(labels, mask, jnp.asarray(gray),
+                               jnp.asarray(color), max_blobs=16,
+                               use_color=use_color)
+    got = blob_stats_tiled(labels, mask, jnp.asarray(gray),
+                           jnp.asarray(color), band=band, max_blobs=16,
+                           use_color=use_color, root_table=rl,
+                           root_count=nb, interpret=INTERP)
+    _tables_equal(ref, got)
+
+
+def test_stats_tiled_overflow_counted():
+    # more blobs than table capacity: first-K raster blobs kept, n_blobs
+    # reports the true count — identical to the XLA contract
+    mask, gray, color = _scene(1, 64, 96, 14, seed=3)
+    mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
+    labels = connected_components(mask)
+    K = 4
+    _, rl, nb = connected_components_tiled(
+        mask, band=16, sweeps=2, adaptive=True, interpret=INTERP,
+        return_roots=K)
+    ref = blobs_mod.blob_stats(labels, mask, jnp.asarray(gray),
+                               jnp.asarray(color), max_blobs=K)
+    got = blob_stats_tiled(labels, mask, jnp.asarray(gray),
+                           jnp.asarray(color), band=16, max_blobs=K,
+                           root_table=rl, root_count=nb, interpret=INTERP)
+    _tables_equal(ref, got)
+    assert int(np.asarray(got.n_blobs)[0]) > K
+
+
+def test_stats_tiled_empty_frame():
+    mask = jnp.zeros((2, 48, 64), bool)
+    labels = connected_components(mask)
+    _, rl, nb = connected_components_tiled(
+        mask, band=16, sweeps=1, adaptive=True, interpret=INTERP,
+        return_roots=8)
+    gray = jnp.zeros((2, 48, 64), jnp.uint8)
+    got = blob_stats_tiled(labels, mask, gray, None, band=16, max_blobs=8,
+                           root_table=rl, root_count=nb, interpret=INTERP)
+    assert not np.asarray(got.valid).any()
+    assert (np.asarray(got.n_blobs) == 0).all()
