@@ -94,14 +94,18 @@ def contamination_program(images: jnp.ndarray,
         mask = ccl_tiled.fill_holes_tiled(binary > 0, band=tiled_band,
                                           sweeps=2, adaptive=True,
                                           interpret=interp)
-        labels, root_table, root_count = ccl_tiled.connected_components_tiled(
-            mask, connectivity=8, band=tiled_band, sweeps=2, adaptive=True,
-            interpret=interp, return_roots=max_blobs)
+        labels, root_table, root_count, slot_list, slot_count = (
+            ccl_tiled.connected_components_tiled(
+                mask, connectivity=8, band=tiled_band, sweeps=2,
+                adaptive=True, interpret=interp, return_roots=max_blobs,
+                band_slots=True))
         from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
         table = blob_stats_tiled(labels, mask, gray, color, band=tiled_band,
                                  max_blobs=max_blobs, use_color=use_color,
                                  root_table=root_table,
-                                 root_count=root_count, interpret=interp)
+                                 root_count=root_count,
+                                 slot_list=slot_list,
+                                 slot_count=slot_count, interpret=interp)
     else:
         mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
         labels = ops.connected_components(mask, connectivity=8,

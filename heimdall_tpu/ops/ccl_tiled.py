@@ -607,7 +607,7 @@ def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
 
 
 def _merge_with_roots(labels, band_roots, counts, band, connectivity,
-                      sentinel, K, iters=0):
+                      sentinel, K, iters=0, want_incidence=False):
     """Merge + global root table from the band kernels' per-band tables.
 
     Returns (merged labels, root_table [B, K] of the first K merged roots
@@ -616,18 +616,38 @@ def _merge_with_roots(labels, band_roots, counts, band, connectivity,
     away — no full-image top_k.  Labels and root table fall back
     independently: an over-capacity band table only costs a top_k, not
     the dense-remap slow path.
+
+    With want_incidence=True also returns (slot_list [B, R, K] i32,
+    slot_count [B, R] i32): for each band, the table slots whose component
+    has at least one pixel in that band (slot ids ascending, then padding).
+    Exact on the table path — every pixel's pre-merge label is in its
+    band's root table, so mapping the band tables through the merge pairs
+    and intersecting with the slot table gives per-band membership on tiny
+    [B, R, cap] tensors.  Fallback paths conservatively mark every slot
+    present in every band.  The banded stats kernel uses this to visit
+    only (slot, band) pairs that actually intersect.
     """
     B, H, W = labels.shape
     R = -(-H // band)
     cap_b = band_roots.shape[-1]
     flat_roots = band_roots.reshape(B, -1)             # ascending per band
+
+    def dense_incidence(rl):
+        pres = jnp.broadcast_to((rl < sentinel)[:, None, :], (B, R, K))
+        return pres
+
     if R <= 1:
         rl = flat_roots[:, :K]
-        return labels, rl, counts.sum(axis=-1)
+        n_blobs = counts.sum(axis=-1)
+        if want_incidence:
+            return (labels, rl, n_blobs,
+                    *_compact_incidence(dense_incidence(rl)))
+        return labels, rl, n_blobs
     if iters <= 0:
         iters = max(1, math.ceil(math.log2(R))) + 2
     prep = _merge_prep(labels, band, connectivity, sentinel, iters)
     old = prep["old"]
+    new = prep["new"]
     edges_ok = jnp.max(prep["n_edges"]) <= prep["cap"]
 
     merged = jax.lax.cond(
@@ -641,7 +661,20 @@ def _merge_with_roots(labels, band_roots, counts, band, connectivity,
         gone = jnp.any(flat_roots[:, :, None] == old[:, None, :], axis=-1)
         survivors = jnp.where(gone, sentinel, flat_roots)
         rl = jnp.sort(survivors, axis=-1)[:, :K]
-        return rl, counts.sum(axis=-1) - prep["n_changed"]
+        n_blobs = counts.sum(axis=-1) - prep["n_changed"]
+        if not want_incidence:
+            return rl, n_blobs
+        # F(band root) through the changed pairs, then intersect with rl
+        big = jnp.int32(2**30)
+        hit = flat_roots[:, :, None] == old[:, None, :]   # [B, R*cap, P]
+        mapped = jnp.where(
+            jnp.any(hit, axis=-1),
+            jnp.min(jnp.where(hit, new[:, None, :], big), axis=-1),
+            flat_roots).reshape(B, R, cap_b)
+        presence = jnp.any(
+            (mapped[..., None] == rl[:, None, None, :])
+            & (mapped[..., None] < sentinel), axis=2)     # [B, R, K]
+        return rl, n_blobs, presence
 
     def topk_roots(_):
         lin = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
@@ -649,15 +682,30 @@ def _merge_with_roots(labels, band_roots, counts, band, connectivity,
         is_root = (merged == lin) & (merged != sentinel)
         keys = jnp.where(is_root, merged, sentinel).reshape(B, H * W)
         rl = -jax.lax.top_k(-keys, K)[0]
-        return rl, jnp.sum(is_root.astype(jnp.int32), axis=(-2, -1))
+        n_blobs = jnp.sum(is_root.astype(jnp.int32), axis=(-2, -1))
+        if not want_incidence:
+            return rl, n_blobs
+        return rl, n_blobs, dense_incidence(rl)
 
     # the table path requires un-truncated band tables: with > cap_b roots
     # in one band, merge removals could promote a truncated root into the
     # global first-K
-    rl, n_blobs = jax.lax.cond(
+    out = jax.lax.cond(
         edges_ok & (jnp.max(counts) <= cap_b), table_roots, topk_roots,
         operand=None)
+    if want_incidence:
+        rl, n_blobs, presence = out
+        return merged, rl, n_blobs, *_compact_incidence(presence)
+    rl, n_blobs = out
     return merged, rl, n_blobs
+
+
+def _compact_incidence(presence):
+    """[B, R, K] bool -> (slot_list [B, R, K] i32 ascending-present-first,
+    slot_count [B, R] i32)."""
+    order = jnp.argsort(~presence, axis=-1, stable=True)
+    return order.astype(jnp.int32), jnp.sum(presence, axis=-1,
+                                            dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -667,12 +715,13 @@ def _merge_with_roots(labels, band_roots, counts, band, connectivity,
 @functools.partial(jax.jit, static_argnames=("connectivity", "band",
                                              "sweeps", "merge_iters",
                                              "interpret", "return_roots",
-                                             "adaptive"))
+                                             "adaptive", "band_slots"))
 def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
                                sweeps: int = 6, merge_iters: int = 0,
                                interpret: bool = False,
                                return_roots: int = 0,
-                               adaptive: bool = False):
+                               adaptive: bool = False,
+                               band_slots: bool = False):
     """Drop-in for ops.ccl.connected_components on [B, H, W] bool masks.
 
     Identical output contract (labels = linear index of the component's
@@ -686,6 +735,11 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     With adaptive=True, ``sweeps`` becomes the initial count and a
     fixpoint check + continuation kernels guarantee exactness — callers
     can pass sweeps=2 for typical scenes at no correctness risk.
+
+    With band_slots=True (requires return_roots), additionally returns
+    (slot_list [B, R, K] i32, slot_count [B, R] i32) — per band, which
+    table slots have pixels there (see _merge_with_roots) — for
+    blob_stats_tiled to skip empty (slot, band) pairs.
     """
     squeeze = mask.ndim == 2
     if squeeze:
@@ -707,9 +761,15 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
                                         interpret,
                                         roots_cap=max(K, 128),
                                         adaptive=adaptive)
-    lab, rl, n_blobs = _merge_with_roots(lab, band_roots, counts, band,
-                                         connectivity, sentinel, K,
-                                         merge_iters)
+    out = _merge_with_roots(lab, band_roots, counts, band,
+                            connectivity, sentinel, K, merge_iters,
+                            want_incidence=band_slots)
+    if band_slots:
+        lab, rl, n_blobs, slot_list, slot_count = out
+        if squeeze:
+            return lab[0], rl[0], n_blobs[0], slot_list[0], slot_count[0]
+        return lab, rl, n_blobs, slot_list, slot_count
+    lab, rl, n_blobs = out
     if squeeze:
         return lab[0], rl[0], n_blobs[0]
     return lab, rl, n_blobs

@@ -39,11 +39,17 @@ from heimdall_tpu.ops.blobs import BlobTable, _integral, _bbox_sum
 S_ONES, S_BND, S_X, S_Y, S_GRAY, S_B, S_G, S_R = range(8)
 
 
-def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color):
+def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
+                              with_slots=False):
     """Grid (B, R).  Accumulates per-slot sums and bboxes across bands.
 
     Scalar-prefetch args: root_table [B, K] (ascending root linear
-    indices, sentinel-padded) and n_blobs [B].
+    indices, sentinel-padded) and n_blobs [B]; with_slots adds
+    slot_list [B, R, K] and slot_count [B, R] (per-band incidence from
+    connected_components_tiled(band_slots=True)), and the slot loop then
+    visits ONLY the slots whose component intersects the band — on
+    production frames most blobs live in one band, so this cuts the
+    dominant per-slot reduction cost by ~R/1.2x.
     VMEM inputs per step: labels band [1, band, W] i32, gray band
     [1, band, W] u8, boundary band [1, band, W] u8, (optional) color
     bands [1, 3, band, W] u8.
@@ -53,7 +59,13 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color):
     S = 8 if with_color else 5
     H = n_bands * band  # only used as the bbox neutral; callers re-mask
 
-    def kernel(rl_ref, nb_ref, lab_ref, gray_ref, bnd_ref, *rest):
+    def kernel(*refs):
+        if with_slots:
+            rl_ref, nb_ref, sl_ref, sc_ref, lab_ref, gray_ref, bnd_ref, \
+                *rest = refs
+        else:
+            rl_ref, nb_ref, lab_ref, gray_ref, bnd_ref, *rest = refs
+            sl_ref = sc_ref = None
         if with_color:
             color_ref, sums_ref, bbox_ref = rest
         else:
@@ -84,8 +96,9 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color):
                                 jnp.where(sub4 == 1, H, -1))
             bbox_ref[0] = neutral.astype(jnp.int32)
 
-        def slot_body(k, carry):
+        def slot_body(t, carry):
             sums, bboxes = carry
+            k = sl_ref[b, r, t] if with_slots else t
             root = rl_ref[b, k]
             m = lab == root
             mf = m.astype(jnp.float32)
@@ -115,7 +128,10 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color):
             bboxes = jnp.where(lane4 == k, upd, bboxes)
             return sums, bboxes
 
-        n = jnp.minimum(nb_ref[b], K)
+        if with_slots:
+            n = jnp.minimum(sc_ref[b, r], K)
+        else:
+            n = jnp.minimum(nb_ref[b], K)
         sums, bboxes = jax.lax.fori_loop(
             0, n, slot_body, (sums_ref[0], bbox_ref[0]))
         sums_ref[0] = sums
@@ -129,6 +145,7 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color):
 def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
                      max_blobs: int = 64, use_color: bool = True,
                      root_table=None, root_count=None,
+                     slot_list=None, slot_count=None,
                      interpret: bool = False) -> BlobTable:
     """Banded-kernel equivalent of ops.blobs.blob_stats.
 
@@ -136,6 +153,9 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     color: optional [B, H, W, 3] uint8; root_table [B, >=K] ascending
     root linear indices (sentinel-padded) and root_count [B] — both as
     produced by ccl_tiled.connected_components_tiled(return_roots=K).
+    Optional slot_list [B, R, K] / slot_count [B, R] (from
+    connected_components_tiled(band_slots=True)) restrict each band's
+    slot loop to components actually present in that band.
     """
     B, H, W = labels.shape
     K = max_blobs
@@ -143,6 +163,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     R = -(-H // band)
     Hp = R * band
     with_color = use_color and color is not None
+    with_slots = slot_list is not None and slot_count is not None
 
     rl = root_table[:, :K].astype(jnp.int32)
     n_blobs = root_count.astype(jnp.int32)
@@ -163,7 +184,8 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     gray_p = padrows(gray.astype(jnp.uint8))
     bnd_p = padrows(boundary)
 
-    kernel = _make_banded_stats_kernel(band, W, K, R, sentinel, with_color)
+    kernel = _make_banded_stats_kernel(band, W, K, R, sentinel, with_color,
+                                       with_slots=with_slots)
     band_spec = lambda: pl.BlockSpec((1, band, W),
                                      lambda b, r, *_: (b, r, 0),
                                      memory_space=pltpu.VMEM)
@@ -177,8 +199,12 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
                                      memory_space=pltpu.VMEM))
         args.append(cm)
     S = 8 if with_color else 5
+    scalars = [rl, n_blobs]
+    if with_slots:
+        scalars += [slot_list.astype(jnp.int32),
+                    slot_count.astype(jnp.int32)]
     gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalars),
         grid=(B, R),
         in_specs=in_specs,
         out_specs=[
@@ -196,7 +222,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(rl, n_blobs, *args)
+    )(*scalars, *args)
 
     # ---- assemble the BlobTable (same math as ops/blobs.py) ---------------
     area_px_f = sums[:, S_ONES]

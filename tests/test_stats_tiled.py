@@ -92,3 +92,43 @@ def test_stats_tiled_empty_frame():
                            root_table=rl, root_count=nb, interpret=INTERP)
     assert not np.asarray(got.valid).any()
     assert (np.asarray(got.n_blobs) == 0).all()
+
+
+def test_band_slot_incidence_exact():
+    """slot_list/slot_count from band_slots=True must mark slot k present
+    in band r iff some pixel of band r carries label rl[k]."""
+    mask, _, _ = _scene(2, 64, 96, 8, seed=11)
+    mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
+    band = 16
+    lab, rl, nb, sl, sc = connected_components_tiled(
+        mask, band=band, sweeps=2, adaptive=True, interpret=INTERP,
+        return_roots=16, band_slots=True)
+    lab_np, rl_np = np.asarray(lab), np.asarray(rl)
+    sl_np, sc_np = np.asarray(sl), np.asarray(sc)
+    B, H, W = lab_np.shape
+    R = -(-H // band)
+    for b in range(B):
+        for r in range(R):
+            rows = lab_np[b, r * band:(r + 1) * band]
+            want = {k for k in range(16)
+                    if rl_np[b, k] < H * W and (rows == rl_np[b, k]).any()}
+            got = set(sl_np[b, r, :sc_np[b, r]].tolist())
+            assert got == want, (b, r, got, want)
+
+
+def test_stats_tiled_with_slots_matches_without():
+    mask, gray, color = _scene(2, 64, 96, 7, seed=21)
+    mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
+    band = 16
+    lab, rl, nb, sl, sc = connected_components_tiled(
+        mask, band=band, sweeps=2, adaptive=True, interpret=INTERP,
+        return_roots=16, band_slots=True)
+    base = blob_stats_tiled(lab, mask, jnp.asarray(gray),
+                            jnp.asarray(color), band=band, max_blobs=16,
+                            root_table=rl, root_count=nb, interpret=INTERP)
+    slotted = blob_stats_tiled(lab, mask, jnp.asarray(gray),
+                               jnp.asarray(color), band=band, max_blobs=16,
+                               root_table=rl, root_count=nb,
+                               slot_list=sl, slot_count=sc,
+                               interpret=INTERP)
+    _tables_equal(base, slotted)
