@@ -140,6 +140,95 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
     return kernel
 
 
+def _make_bbox_sum_kernel(band, W, K, n_bands, with_color):
+    """Grid (B, R): per-slot bbox-window sums of gray (and b, g, r).
+
+    Replaces the XLA integral images, which profiled at ~1 ms/frame at 2 MP
+    (four dense [B, H*W] prefix-sum loops + relayouts).  A blob's row
+    support is contiguous (any 4/8-connected path changes row by <= 1), so
+    its bbox rows intersect exactly the bands in the slot-incidence table —
+    the same slot_list bounds this loop.  Accumulation is int32 for bit
+    parity with the integer integral-image path (255 * 2 MP < 2^31).
+
+    Scalar-prefetch: bbox [B, 4, K] (x0, y0, x1, y1 inclusive, from the
+    stats kernel), slot_list [B, R, K], slot_count [B, R].
+    """
+    C = 4 if with_color else 1
+
+    def kernel(bbox_ref, sl_ref, sc_ref, gray_ref, *rest):
+        if with_color:
+            color_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+        b = pl.program_id(0)
+        r = pl.program_id(1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (band, W), 0) + r * band
+        col = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
+        grayi = gray_ref[0].astype(jnp.int32)
+        if with_color:
+            bi = color_ref[0, 0].astype(jnp.int32)
+            gi = color_ref[0, 1].astype(jnp.int32)
+            ri = color_ref[0, 2].astype(jnp.int32)
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (C, K), 1)
+
+        @pl.when(r == 0)
+        def _():
+            out_ref[0] = jnp.zeros((C, K), jnp.int32)
+
+        def slot_body(t, acc):
+            k = sl_ref[b, r, t]
+            x0 = bbox_ref[b, 0, k]
+            y0 = bbox_ref[b, 1, k]
+            x1 = bbox_ref[b, 2, k]
+            y1 = bbox_ref[b, 3, k]
+            box = ((row >= y0) & (row <= y1)
+                   & (col >= x0) & (col <= x1)).astype(jnp.int32)
+            cols = [jnp.sum(box * grayi).reshape(1, 1)]
+            if with_color:
+                cols += [jnp.sum(box * bi).reshape(1, 1),
+                         jnp.sum(box * gi).reshape(1, 1),
+                         jnp.sum(box * ri).reshape(1, 1)]
+            col_v = jnp.concatenate(cols, axis=0)            # [C, 1]
+            return acc + jnp.where(laneC == k, col_v, 0)
+
+        n = jnp.minimum(sc_ref[b, r], K)
+        out_ref[0] = jax.lax.fori_loop(0, n, slot_body, out_ref[0])
+
+    return kernel
+
+
+def _bbox_sums_banded(bbox, slot_list, slot_count, gray_p, cm, band, W, K,
+                      R, with_color, interpret):
+    """Run the bbox-sum kernel; returns [B, C, K] i32 (C = 1 or 4)."""
+    B = gray_p.shape[0]
+    C = 4 if with_color else 1
+    kernel = _make_bbox_sum_kernel(band, W, K, R, with_color)
+    in_specs = [pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [gray_p]
+    if with_color:
+        in_specs.append(pl.BlockSpec((1, 3, band, W),
+                                     lambda b, r, *_: (b, 0, r, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cm)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, R),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, C, K), lambda b, r, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=(jax.ShapeDtypeStruct((B, C, K), jnp.int32),),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(bbox, slot_list, slot_count, *args)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("band", "max_blobs",
                                              "use_color", "interpret"))
 def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
@@ -240,8 +329,17 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     h = jnp.where(valid, bbox[:, 3] - bbox[:, 1] + 1, 0)
 
     fg_sum = sums[:, S_GRAY].astype(jnp.int32)
-    ii = _integral(gray.astype(jnp.int32))
-    bbox_sum = _bbox_sum(ii, x0, y0, x0 + w, y0 + h)
+    if with_slots:
+        # banded bbox sums — a second kernel pass over the incidence
+        # bands; kills the 4 dense integral images (~1 ms/frame at 2 MP)
+        box_sums = _bbox_sums_banded(bbox, slot_list.astype(jnp.int32),
+                                     slot_count.astype(jnp.int32),
+                                     gray_p, cm if with_color else None,
+                                     band, W, K, R, with_color, interpret)
+        bbox_sum = box_sums[:, 0]
+    else:
+        ii = _integral(gray.astype(jnp.int32))
+        bbox_sum = _bbox_sum(ii, x0, y0, x0 + w, y0 + h)
     bg_px = w * h - area_px
     fg_mean = jnp.where(valid, fg_sum.astype(jnp.float32) / safe_px, 127.0)
     bg_mean = jnp.where(bg_px > 0,
@@ -257,8 +355,11 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
         diffs = []
         for ch, srow in ((0, S_B), (1, S_G), (2, S_R)):
             c_fg = sums[:, srow].astype(jnp.int32)
-            c_ii = _integral(color[..., ch].astype(jnp.int32))
-            c_bbox = _bbox_sum(c_ii, x0, y0, x0 + w, y0 + h)
+            if with_slots:
+                c_bbox = box_sums[:, 1 + ch]
+            else:
+                c_ii = _integral(color[..., ch].astype(jnp.int32))
+                c_bbox = _bbox_sum(c_ii, x0, y0, x0 + w, y0 + h)
             c_fg_mean = jnp.where(valid,
                                   c_fg.astype(jnp.float32) / safe_px, 127.0)
             c_bg_mean = jnp.where(bg_px > 0,
