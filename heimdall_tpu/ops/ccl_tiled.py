@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from heimdall_tpu.ops.pallas_kernels import (_cumsum_axis, _seg_min_scan,
-                                             _shift_const)
+                                             _seg_or_scan, _shift_const)
 
 
 # ---------------------------------------------------------------------------
@@ -775,6 +775,76 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     return lab, rl, n_blobs
 
 
+def _make_flood_kernel(Th, W, n_bands):
+    """OR-flood one band to its local fixpoint (4-connected exterior).
+
+    Inputs: bg band u8 (1 = background), ext band u8 (current exterior
+    flood, subset of bg), halo [1, 2, W] u8 (the exterior state of the
+    rows just outside the band, zero at frame edges).  Outputs the grown
+    ext band and a per-band flag (1 iff this invocation changed nothing),
+    so the XLA driver loop stops as soon as a whole round is a no-op —
+    which certifies the GLOBAL flood fixpoint, because each round seeds
+    every band with its neighbours' boundary rows.
+    """
+
+    def kernel(bg_ref, ext_ref, halo_ref, out_ref, flag_ref):
+        r = pl.program_id(1)
+        bg = bg_ref[0].astype(jnp.int32)
+        fg = 1 - bg
+        ext0 = ext_ref[0].astype(jnp.int32)
+        halo = halo_ref[0, 0].astype(jnp.int32)          # [2, W]
+        top = jax.lax.slice_in_dim(halo, 0, 1, axis=0)   # [1, W]
+        bot = jax.lax.slice_in_dim(halo, 1, 2, axis=0)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 0)
+        seed = ext0 | (jnp.where(row_i == 0, jnp.tile(top, (Th, 1)), 0)
+                       | jnp.where(row_i == Th - 1,
+                                   jnp.tile(bot, (Th, 1)), 0)) & bg
+
+        fg_t = jnp.transpose(fg)
+        bg_t = jnp.transpose(bg)
+
+        def grow4(e):
+            g = e
+            for s, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+                g = g | _shift_const(e, s, axis, 0)
+            return g & bg
+
+        def sweep(e):
+            e = grow4(e)
+            e = _seg_or_scan(e, fg, 1, False) & bg
+            e = _seg_or_scan(e, fg, 1, True) & bg
+            e_t = jnp.transpose(e)
+            e_t = _seg_or_scan(e_t, fg_t, 1, False) & bg_t
+            e_t = _seg_or_scan(e_t, fg_t, 1, True) & bg_t
+            return jnp.transpose(e_t)
+
+        def cond(c):
+            return c[1] > 0
+
+        def body(c):
+            e = sweep(c[0])
+            return e, jnp.max(grow4(e) & (1 - e))
+
+        pending = jnp.max(grow4(seed) & (1 - seed))
+        ext, _ = jax.lax.while_loop(cond, body, (seed, pending))
+        out_ref[0] = ext.astype(jnp.uint8)
+
+        # flood is monotone, so "changed vs the input ext" = any new bit
+        changed = jnp.max(ext & (1 - ext0))
+        row_sel = (jax.lax.broadcasted_iota(jnp.int32, (n_bands, 1), 0)
+                   == r)
+
+        @pl.when(r == 0)
+        def _():
+            flag_ref[0] = jnp.zeros((n_bands, 1), jnp.int32)
+
+        flag_ref[0] = jnp.where(
+            row_sel, jnp.full((n_bands, 1), 1 - changed, jnp.int32),
+            flag_ref[0])
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("band", "sweeps",
                                              "merge_iters", "interpret",
                                              "adaptive"))
@@ -783,51 +853,74 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
                      adaptive: bool = False):
     """Drop-in for ops.ccl.fill_holes on [B, H, W] bool masks.
 
-    Background components (4-connected — complementary to the 8-connected
-    foreground) that do not own a frame-border pixel are holes.
+    Background 4-connected-reachable from the frame border (the
+    complementary connectivity of the 8-connected foreground) is exterior;
+    every other background pixel is hole.  Implemented as a banded
+    OR-flood: each Pallas invocation floods its band to a local fixpoint
+    on u8 planes, and an XLA while_loop re-seeds bands with their
+    neighbours' boundary rows until a whole round changes nothing — the
+    global fixpoint.  This replaced a background CCL + interface merge +
+    border-root reach test that profiled 4x slower (int32 label planes,
+    sort/argsort interface dedup, per-root full-image compares).
+
+    ``sweeps``/``merge_iters``/``adaptive`` are accepted for API
+    compatibility; the flood always runs to the exact fixpoint.
     """
+    del sweeps, merge_iters, adaptive
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
     B, H, W = mask.shape
-    sentinel = H * W
-    bg_lab = _band_ccl(~mask, 4, band, sweeps, interpret, adaptive=adaptive)
-    bg_lab = _merge_band_labels(bg_lab, band, 4, sentinel, merge_iters)
+    R = -(-H // band)
+    Hp = R * band
+    bg = (~mask).astype(jnp.uint8)
+    if Hp != H:
+        # pad rows are exterior-seeded background: they sit outside the
+        # frame and the real bottom border row is a seed anyway
+        bg = jnp.pad(bg, ((0, 0), (0, Hp - H), (0, 0)), constant_values=1)
+    row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None]
+    col = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    border = ((row == 0) | (row >= H - 1) | (col == 0)
+              | (col == W - 1)).astype(jnp.uint8)
+    ext0 = bg * border
 
-    # border-reachable = label belongs to the set T of border-touching
-    # background roots (production frames have a handful — usually just the
-    # scene background), tested by compare instead of a full-image gather
-    border_vals = jnp.concatenate(
-        [bg_lab[:, 0], bg_lab[:, -1], bg_lab[:, :, 0], bg_lab[:, :, -1]],
-        axis=-1)                                       # [B, 2(H+W)]
-    big = jnp.int32(2**30)
-    s = jnp.sort(jnp.where(border_vals < sentinel, border_vals, big),
-                 axis=-1)
-    is_first = jnp.concatenate(
-        [s[:, :1] < big, (s[:, 1:] != s[:, :-1]) & (s[:, 1:] < big)],
-        axis=-1)
-    n_t = jnp.sum(is_first, axis=-1)
-    cap = min(_MAX_CHANGED, s.shape[-1])
-    T = jnp.sort(jnp.where(is_first, s, big), axis=-1)[:, :cap]
+    kernel = _make_flood_kernel(band, W, R)
+    band_spec = pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, R),
+        in_specs=[band_spec, band_spec,
+                  pl.BlockSpec((1, 1, 2, W), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[band_spec,
+                   pl.BlockSpec((1, R, 1), lambda b, r: (b, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                   jax.ShapeDtypeStruct((B, R, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
 
-    flat = bg_lab.reshape(B, H * W)
+    def halos(ext):
+        v = ext.reshape(B, R, band, W)
+        last = v[:, :, band - 1]                       # [B, R, W]
+        first = v[:, :, 0]
+        top = jnp.concatenate([jnp.zeros_like(last[:, :1]),
+                               last[:, :-1]], axis=1)
+        bot = jnp.concatenate([first[:, 1:],
+                               jnp.zeros_like(first[:, :1])], axis=1)
+        return jnp.stack([top, bot], axis=2)           # [B, R, 2, W]
 
-    def fast(_):
-        def body(t, acc):
-            v = jax.lax.dynamic_slice_in_dim(T, t, 1, axis=-1)  # [B, 1]
-            return acc | (flat == v)
-        reach = jax.lax.fori_loop(0, jnp.minimum(jnp.max(n_t), cap), body,
-                                  jnp.zeros_like(flat, bool))
-        return reach
+    ext, flags = call(bg, ext0, halos(ext0))
 
-    def slow(_):
-        bidx = jnp.arange(B)[:, None]
-        touch = jnp.zeros((B, sentinel + 1), bool)
-        touch = touch.at[bidx,
-                         jnp.minimum(border_vals, sentinel)].set(True)
-        touch = touch.at[:, sentinel].set(False)
-        return jnp.take_along_axis(touch, flat, axis=-1)
+    def cond(c):
+        return jnp.min(c[1]) < 1
 
-    reach = jax.lax.cond(jnp.max(n_t) <= cap, fast, slow, operand=None)
-    filled = mask | (~mask & ~reach.reshape(B, H, W))
+    def body(c):
+        e = c[0]
+        return tuple(call(bg, e, halos(e)))
+
+    ext, _ = jax.lax.while_loop(cond, body, (ext, flags))
+    filled = mask | ((bg & (1 - ext)) > 0)[:, :H]
     return filled[0] if squeeze else filled
