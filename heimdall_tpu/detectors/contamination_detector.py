@@ -73,13 +73,22 @@ def contamination_program(images: jnp.ndarray,
              [, labels]).
     """
     color = images if images.ndim == 4 and images.shape[-1] == 3 else None
-    gray = ops.bgr_to_gray(images)
-    blurred = ops.gaussian_blur(gray, 5, 0)
-    binary = ops.adaptive_threshold(
-        blurred, 255, "gaussian", "binary_inv", 11, contrast_threshold)
-    se3 = np.ones((3, 3), np.uint8)
-    binary = ops.morphology_ex(binary, "open", se3)
-    binary = ops.morphology_ex(binary, "close", se3)
+    interp = jax.default_backend() == "cpu"
+    if tiled_band > 0 and color is not None:
+        # fused banded preprocess kernel (bit-identical to the op chain
+        # below — tests/test_preprocess_tiled.py)
+        from heimdall_tpu.ops.preprocess_tiled import (
+            contamination_preprocess_tiled)
+        binary, gray = contamination_preprocess_tiled(
+            images, contrast_threshold, band=tiled_band, interpret=interp)
+    else:
+        gray = ops.bgr_to_gray(images)
+        blurred = ops.gaussian_blur(gray, 5, 0)
+        binary = ops.adaptive_threshold(
+            blurred, 255, "gaussian", "binary_inv", 11, contrast_threshold)
+        se3 = np.ones((3, 3), np.uint8)
+        binary = ops.morphology_ex(binary, "open", se3)
+        binary = ops.morphology_ex(binary, "close", se3)
     # Hole filling reproduces findContours(RETR_EXTERNAL)+drawContours(filled)
     # semantics: ring-shaped responses (large uniform dark spots only fire at
     # their rim under adaptive thresholding) gate and measure as full discs,
@@ -87,7 +96,6 @@ def contamination_program(images: jnp.ndarray,
     root_table = root_count = None
     if tiled_band > 0:
         from heimdall_tpu.ops import ccl_tiled
-        interp = jax.default_backend() == "cpu"
         # adaptive mode: 2 initial sweeps + fixpoint-checked continuation,
         # exact for any geometry.  Production scenes converge immediately,
         # so this runs ~1/3 the sweep cost of the old fixed 6.

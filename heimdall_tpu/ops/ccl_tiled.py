@@ -60,7 +60,7 @@ def _neighbor_min(lab, sentinel, connectivity):
 
 def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
                           roots_cap=0, n_bands=1, continuation=False,
-                          emit_flag=False):
+                          emit_flag=False, emit_edges=False):
     """Label one [Th, W] band with global linear indices (band-local
     connectivity only; the merge step joins bands).
 
@@ -78,6 +78,11 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
     flag (1 iff one more neighbor-min step would change nothing) — one
     extra neighbor-min in VMEM, far cheaper than an XLA fixpoint pass
     over the label image in HBM.
+
+    With emit_edges=True the kernel also writes its first and last label
+    rows to a [B, R, 2, W] table, so the interface merge reads boundary
+    rows from a small contiguous array instead of strided-slicing the
+    full label image (which costs a relayout copy of the whole image).
     """
 
     def kernel(mask_ref, *rest):
@@ -86,6 +91,8 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
         else:
             lab_ref, *extra_refs = rest
             init_ref = None
+        if emit_edges:
+            edge_ref, *extra_refs = extra_refs
         if emit_flag:
             flag_ref = extra_refs[-1]
             root_refs = extra_refs[:-1]
@@ -120,6 +127,11 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
 
         lab = jax.lax.fori_loop(0, sweeps, body, lab0)
         lab_ref[0] = lab
+
+        if emit_edges:
+            edge_ref[0, 0] = jnp.concatenate(
+                [jax.lax.slice_in_dim(lab, 0, 1, axis=0),
+                 jax.lax.slice_in_dim(lab, Th - 1, Th, axis=0)], axis=0)
 
         if emit_flag:
             nm = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
@@ -183,20 +195,22 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
 
 
 def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
-                   sentinel, init=None, emit_flag=False):
+                   sentinel, init=None, emit_flag=False, emit_edges=False):
     """One band-CCL pallas_call over padded inputs.
 
     ``m`` is uint8 [B, Hp, W] (Hp a multiple of ``band``); ``init``, when
     given, is the current padded label image to continue sweeping from.
-    Returns [labels] (+ [band_roots, counts] with roots_cap) (+ [flags
-    [B, R] i32] with emit_flag — always last) — all padded shapes.
+    Returns [labels] (+ [edges [B, R, 2, W] with emit_edges]) (+
+    [band_roots, counts] with roots_cap) (+ [flags [B, R] i32] with
+    emit_flag — always last) — all padded shapes.
     """
     B, Hp, W = m.shape
     R = Hp // band
     kernel = _make_band_ccl_kernel(band, W, sentinel, connectivity, sweeps,
                                    roots_cap, n_bands=R,
                                    continuation=init is not None,
-                                   emit_flag=emit_flag)
+                                   emit_flag=emit_flag,
+                                   emit_edges=emit_edges)
     band_spec = pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [band_spec]
@@ -206,6 +220,11 @@ def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
         args.append(init)
     out_specs = [band_spec]
     out_shape = [jax.ShapeDtypeStruct((B, Hp, W), jnp.int32)]
+    if emit_edges:
+        out_specs.append(pl.BlockSpec((1, 1, 2, W),
+                                      lambda b, r: (b, r, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, R, 2, W), jnp.int32))
     if roots_cap:
         # whole-frame-resident [1, R, cap] blocks (same block across the r
         # steps; the kernel fills row r) — a (1, 1, cap) block would break
@@ -280,11 +299,11 @@ def _band_fixpoint(lab_p, band, connectivity, sentinel):
 
 
 def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
-              adaptive=False, cont_sweeps=2):
+              adaptive=False, cont_sweeps=2, emit_edges=False):
     """Band-local labels for a [B, H, W] bool mask (padded to full bands).
 
-    Returns labels, or (labels, band_roots [B, R, cap], counts [B, R])
-    when roots_cap > 0.
+    Returns (labels[, edge_rows [B, R, 2, W]][, band_roots [B, R, cap],
+    counts [B, R]]) — extras in that order per the flags.
 
     With adaptive=True, ``sweeps`` is only the initial count: a band-local
     fixpoint check follows, and non-converged frames keep running
@@ -301,7 +320,8 @@ def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
         m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
 
     out = _band_ccl_call(m, connectivity, band, sweeps, interpret,
-                         roots_cap, sentinel, emit_flag=adaptive)
+                         roots_cap, sentinel, emit_flag=adaptive,
+                         emit_edges=emit_edges)
 
     if adaptive:
         # the kernels emit per-band convergence flags in VMEM (an extra
@@ -313,32 +333,46 @@ def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
             lab = carry[0]
             nxt = _band_ccl_call(m, connectivity, band, cont_sweeps,
                                  interpret, roots_cap, sentinel, init=lab,
-                                 emit_flag=True)
+                                 emit_flag=True, emit_edges=emit_edges)
             return tuple(nxt)
 
         out = list(jax.lax.while_loop(cond, body, tuple(out)))[:-1]
 
+    res = [out[0][:, :H]]
+    idx = 1
+    if emit_edges:
+        res.append(out[idx])
+        idx += 1
     if roots_cap:
-        return out[0][:, :H], out[1], out[2][..., 0]
-    return out[0][:, :H]
+        res += [out[idx], out[idx + 1][..., 0]]
+    return res[0] if len(res) == 1 else tuple(res)
 
 
 # ---------------------------------------------------------------------------
 # interface merge (XLA, compressed union-find)
 # ---------------------------------------------------------------------------
 
-def _interface_edges(labels, band, connectivity, sentinel):
-    """Label pairs (a, b) adjacent across band boundaries. [B, E] each."""
+def _interface_edges(labels, band, connectivity, sentinel, edge_rows=None):
+    """Label pairs (a, b) adjacent across band boundaries. [B, E] each.
+
+    With ``edge_rows`` [B, R, 2, W] (first/last label rows, emitted by the
+    band kernels) the boundary rows come from that small table; otherwise
+    they are sliced from the full label image (a relayout copy of the
+    whole image on TPU)."""
     B, H, W = labels.shape
     R = -(-H // band)
-    # contiguous reshape + static index (strided slicing lowers to a slow
-    # gather on TPU); pad to full bands first
-    lp = (labels if H == R * band else
-          jnp.pad(labels, ((0, 0), (0, R * band - H), (0, 0)),
-                  constant_values=sentinel))
-    banded = lp.reshape(B, R, band, W)
-    top = banded[:, :R - 1, band - 1]                 # [B, R-1, W]
-    bot = banded[:, 1:, 0]                            # [B, R-1, W]
+    if edge_rows is not None:
+        top = edge_rows[:, :R - 1, 1]                 # last row of band r
+        bot = edge_rows[:, 1:, 0]                     # first row of band r+1
+    else:
+        # contiguous reshape + static index (strided slicing lowers to a
+        # slow gather on TPU); pad to full bands first
+        lp = (labels if H == R * band else
+              jnp.pad(labels, ((0, 0), (0, R * band - H), (0, 0)),
+                      constant_values=sentinel))
+        banded = lp.reshape(B, R, band, W)
+        top = banded[:, :R - 1, band - 1]             # [B, R-1, W]
+        bot = banded[:, 1:, 0]                        # [B, R-1, W]
     shifts = (-1, 0, 1) if connectivity == 8 else (0,)
     a_parts, b_parts = [], []
     for s in shifts:
@@ -466,19 +500,26 @@ def _changed_pairs(u, roots, cap):
     return old, new, n_changed
 
 
-def _apply_pairs(labels, old, new, n_changed):
-    """labels with old[m] -> new[m] applied; O(n_changed) full-image passes.
+def _apply_pairs(labels, old, new, n_changed, chunk=8):
+    """labels with old[m] -> new[m] applied; O(n_changed / chunk)
+    full-image passes — ``chunk`` selects fuse into one pass, and the
+    while-loop dispatch overhead (not the compares) dominated at one pair
+    per pass.  Typical frames change <= 8 labels -> a single pass.
 
     Invalid slots hold 2**30 which no label equals (labels <= H*W)."""
     B, H, W = labels.shape
     flat = labels.reshape(B, H * W)
 
     def body(m, acc):
-        o = jax.lax.dynamic_slice_in_dim(old, m, 1, axis=-1)   # [B, 1]
-        n = jax.lax.dynamic_slice_in_dim(new, m, 1, axis=-1)
-        return jnp.where(flat == o, n, acc)
+        o = jax.lax.dynamic_slice_in_dim(old, m * chunk, chunk, axis=-1)
+        n = jax.lax.dynamic_slice_in_dim(new, m * chunk, chunk, axis=-1)
+        for j in range(chunk):
+            acc = jnp.where(flat == o[:, j:j + 1], n[:, j:j + 1], acc)
+        return acc
 
-    n_iter = jnp.minimum(jnp.max(n_changed), old.shape[-1])
+    n_pairs = jnp.minimum(jnp.max(n_changed), old.shape[-1])
+    # over-read into the big-padded tail is harmless: nothing matches 2^30
+    n_iter = (n_pairs + chunk - 1) // chunk
     out = jax.lax.fori_loop(0, n_iter, body, flat)
     return out.reshape(B, H, W)
 
@@ -492,7 +533,8 @@ def _pad_pairs(x, fill):
     return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
 
 
-def _merge_prep(labels, band, connectivity, sentinel, iters):
+def _merge_prep(labels, band, connectivity, sentinel, iters,
+                edge_rows=None):
     """Shared merge machinery: dedup/compact the interface edges, resolve
     the union-find, extract changed pairs.  Returns everything both the
     fast compare-select path and the adversarial fallback need.
@@ -511,7 +553,8 @@ def _merge_prep(labels, band, connectivity, sentinel, iters):
       the positional union-find.  Beyond that, callers fall back to the
       dense-gather remap — exact at every tier.
     """
-    a, b = _interface_edges(labels, band, connectivity, sentinel)
+    a, b = _interface_edges(labels, band, connectivity, sentinel,
+                            edge_rows)
     cap = _MAX_CHANGED
     big = jnp.int32(2**30)
     trivial = (a >= sentinel) | (b >= sentinel) | (a == b)
@@ -580,7 +623,8 @@ def _slow_remap(labels, prep, sentinel):
     return jnp.take_along_axis(dense, flat, axis=-1).reshape(B, H, W)
 
 
-def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
+def _merge_band_labels(labels, band, connectivity, sentinel, iters=0,
+                       edge_rows=None):
     """Unify components across band boundaries.
 
     The union-find runs on the small interface domain; applying it back is
@@ -596,7 +640,8 @@ def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
         return labels
     if iters <= 0:
         iters = max(1, math.ceil(math.log2(R))) + 2
-    prep = _merge_prep(labels, band, connectivity, sentinel, iters)
+    prep = _merge_prep(labels, band, connectivity, sentinel, iters,
+                       edge_rows)
 
     return jax.lax.cond(
         jnp.max(prep["n_edges"]) <= prep["cap"],
@@ -607,7 +652,8 @@ def _merge_band_labels(labels, band, connectivity, sentinel, iters=0):
 
 
 def _merge_with_roots(labels, band_roots, counts, band, connectivity,
-                      sentinel, K, iters=0, want_incidence=False):
+                      sentinel, K, iters=0, want_incidence=False,
+                      edge_rows=None):
     """Merge + global root table from the band kernels' per-band tables.
 
     Returns (merged labels, root_table [B, K] of the first K merged roots
@@ -645,7 +691,8 @@ def _merge_with_roots(labels, band_roots, counts, band, connectivity,
         return labels, rl, n_blobs
     if iters <= 0:
         iters = max(1, math.ceil(math.log2(R))) + 2
-    prep = _merge_prep(labels, band, connectivity, sentinel, iters)
+    prep = _merge_prep(labels, band, connectivity, sentinel, iters,
+                       edge_rows)
     old = prep["old"]
     new = prep["new"]
     edges_ok = jnp.max(prep["n_edges"]) <= prep["cap"]
@@ -747,23 +794,24 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     B, H, W = mask.shape
     sentinel = H * W
     if not return_roots:
-        lab = _band_ccl(mask, connectivity, band, sweeps, interpret,
-                        adaptive=adaptive)
+        lab, edges = _band_ccl(mask, connectivity, band, sweeps, interpret,
+                               adaptive=adaptive, emit_edges=True)
         lab = _merge_band_labels(lab, band, connectivity, sentinel,
-                                 merge_iters)
+                                 merge_iters, edge_rows=edges)
         return lab[0] if squeeze else lab
 
     K = return_roots
     # the in-kernel tables are wider than K so blob-heavy bands (kernel
     # loop cost stays O(actual roots)) keep the cheap table path; only
     # > cap_b roots in one band falls back to a top_k
-    lab, band_roots, counts = _band_ccl(mask, connectivity, band, sweeps,
-                                        interpret,
-                                        roots_cap=max(K, 128),
-                                        adaptive=adaptive)
+    lab, edges, band_roots, counts = _band_ccl(mask, connectivity, band,
+                                               sweeps, interpret,
+                                               roots_cap=max(K, 128),
+                                               adaptive=adaptive,
+                                               emit_edges=True)
     out = _merge_with_roots(lab, band_roots, counts, band,
                             connectivity, sentinel, K, merge_iters,
-                            want_incidence=band_slots)
+                            want_incidence=band_slots, edge_rows=edges)
     if band_slots:
         lab, rl, n_blobs, slot_list, slot_count = out
         if squeeze:
@@ -781,13 +829,15 @@ def _make_flood_kernel(Th, W, n_bands):
     Inputs: bg band u8 (1 = background), ext band u8 (current exterior
     flood, subset of bg), halo [1, 2, W] u8 (the exterior state of the
     rows just outside the band, zero at frame edges).  Outputs the grown
-    ext band and a per-band flag (1 iff this invocation changed nothing),
-    so the XLA driver loop stops as soon as a whole round is a no-op —
-    which certifies the GLOBAL flood fixpoint, because each round seeds
-    every band with its neighbours' boundary rows.
+    ext band, its first/last rows (so the driver builds the next round's
+    halos from a small [B, R, 2, W] table instead of strided-slicing the
+    full plane), and a per-band flag (1 iff this invocation changed
+    nothing) — the XLA driver loop stops as soon as a whole round is a
+    no-op, which certifies the GLOBAL flood fixpoint, because each round
+    seeds every band with its neighbours' boundary rows.
     """
 
-    def kernel(bg_ref, ext_ref, halo_ref, out_ref, flag_ref):
+    def kernel(bg_ref, ext_ref, halo_ref, out_ref, edge_ref, flag_ref):
         r = pl.program_id(1)
         bg = bg_ref[0].astype(jnp.int32)
         fg = 1 - bg
@@ -828,6 +878,10 @@ def _make_flood_kernel(Th, W, n_bands):
         pending = jnp.max(grow4(seed) & (1 - seed))
         ext, _ = jax.lax.while_loop(cond, body, (seed, pending))
         out_ref[0] = ext.astype(jnp.uint8)
+        edge_ref[0, 0] = jnp.concatenate(
+            [jax.lax.slice_in_dim(ext, 0, 1, axis=0),
+             jax.lax.slice_in_dim(ext, Th - 1, Th, axis=0)],
+            axis=0).astype(jnp.uint8)
 
         # flood is monotone, so "changed vs the input ext" = any new bit
         changed = jnp.max(ext & (1 - ext0))
@@ -894,33 +948,37 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
                   pl.BlockSpec((1, 1, 2, W), lambda b, r: (b, r, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[band_spec,
+                   pl.BlockSpec((1, 1, 2, W), lambda b, r: (b, r, 0, 0),
+                                memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, R, 1), lambda b, r: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                   jax.ShapeDtypeStruct((B, R, 2, W), jnp.uint8),
                    jax.ShapeDtypeStruct((B, R, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret)
 
-    def halos(ext):
-        v = ext.reshape(B, R, band, W)
-        last = v[:, :, band - 1]                       # [B, R, W]
-        first = v[:, :, 0]
+    def halos(edge_rows):
+        # edge_rows [B, R, 2, W]: [.., 0] = first row, [.., 1] = last row
+        last = edge_rows[:, :, 1]
+        first = edge_rows[:, :, 0]
         top = jnp.concatenate([jnp.zeros_like(last[:, :1]),
                                last[:, :-1]], axis=1)
         bot = jnp.concatenate([first[:, 1:],
                                jnp.zeros_like(first[:, :1])], axis=1)
         return jnp.stack([top, bot], axis=2)           # [B, R, 2, W]
 
-    ext, flags = call(bg, ext0, halos(ext0))
+    v0 = ext0.reshape(B, R, band, W)
+    edges0 = jnp.stack([v0[:, :, 0], v0[:, :, band - 1]], axis=2)
+    ext, edges, flags = call(bg, ext0, halos(edges0))
 
     def cond(c):
-        return jnp.min(c[1]) < 1
+        return jnp.min(c[2]) < 1
 
     def body(c):
-        e = c[0]
-        return tuple(call(bg, e, halos(e)))
+        return tuple(call(bg, c[0], halos(c[1])))
 
-    ext, _ = jax.lax.while_loop(cond, body, (ext, flags))
+    ext, _, _ = jax.lax.while_loop(cond, body, (ext, edges, flags))
     filled = mask | ((bg & (1 - ext)) > 0)[:, :H]
     return filled[0] if squeeze else filled

@@ -1,0 +1,185 @@
+"""Banded Pallas preprocess for frames beyond the whole-frame VMEM cap.
+
+Fuses the contamination front-end — BGR grayscale, Q8 Gaussian blur 5,
+float adaptive-Gaussian-11 threshold, morphological open then close — into
+one banded kernel, replacing the XLA op composition that materializes
+every intermediate ([B, H, W] f32 planes) to HBM (~0.4 ms/frame of fused
+XLA passes at 2 MP).  Numerics are identical to ops/filters.py +
+ops/threshold.py + ops/morphology.py (OpenCV-parity): the same fixed-point
+blur, float mean + rint, and border semantics.
+
+Reference rebuilt: heimdall/detectors/contamination_detector.py:66-87
+(gray -> GaussianBlur(5,5) -> adaptiveThreshold(GAUSSIAN_C, BINARY_INV,
+11, C) -> morph OPEN -> CLOSE) at the 2 MP camera design point.
+
+Band decomposition: each grid step processes ``band`` output rows plus a
+16-row halo of real neighbour rows on each side (total stencil radius:
+blur 2 + mean 5 + morphology 4 = 11).  Border semantics at the frame's
+top and bottom edges are reproduced in-kernel with global-row-indexed
+fixups applied to each stage's INPUT, mirroring what the whole-frame ops
+synthesize outside the array:
+
+  * gray (for blur5, reflect101): rows -1, -2 mirror rows 1, 2 (top) and
+    H, H+1 mirror H-2, H-3 (bottom) — only the blur's radius-2 reads care.
+  * blurred (for mean11, replicate): rows [-9, -1] copy row 0; rows
+    [H, H+8] copy row H-1 (9 = mean radius 5 + morphology radius 4).
+  * binary (for each morphology step, constant border): out-of-frame rows
+    are forced to the step's pad value (erode 255, dilate 0) before every
+    step — exactly cv2's BORDER_CONSTANT behaviour.
+
+Column borders need no fixups: bands span the full width, so the tile's
+lane edges ARE the frame's left/right edges and the standard bordered
+shifts apply (reflect101 / replicate / constant as per op).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from heimdall_tpu.ops.filters import gaussian_kernel_1d, _q8_taps
+from heimdall_tpu.ops.pallas_kernels import _conv_axis, _shift, _shift_const
+
+HALO = 16          # >= total stencil radius 11, sublane-aligned
+
+
+def _row_fix(x, tile_pos, src_pos, gate):
+    """x with row ``tile_pos`` replaced by row ``src_pos`` when ``gate``
+    (a traced scalar) holds.  Static positions -> plain slice + select."""
+    E, W = x.shape
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (E, W), 0)
+    src = jnp.tile(jax.lax.slice_in_dim(x, src_pos, src_pos + 1, axis=0),
+                   (E, 1))
+    return jnp.where((row_i == tile_pos) & gate, src, x)
+
+
+def _row_fix_range(x, lo, hi, src_pos, gate):
+    """Rows [lo, hi) replaced by row ``src_pos`` when ``gate`` holds."""
+    E, W = x.shape
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (E, W), 0)
+    src = jnp.tile(jax.lax.slice_in_dim(x, src_pos, src_pos + 1, axis=0),
+                   (E, 1))
+    return jnp.where((row_i >= lo) & (row_i < hi) & gate, src, x)
+
+
+def _minmax3_banded(x, is_min, oof):
+    """3x3 erode/dilate with cv2 constant border: columns via bordered
+    lane shifts, rows via the out-of-frame mask ``oof`` (True beyond the
+    frame's top/bottom), forced to the pad value first."""
+    value = 255 if is_min else 0
+    op = jnp.minimum if is_min else jnp.maximum
+    x = jnp.where(oof, value, x)
+    out = None
+    for dy in (-1, 0, 1):
+        sy = _shift_const(x, dy, 0, value)
+        for dx in (-1, 0, 1):
+            s = _shift_const(sy, dx, 1, value)
+            out = s if out is None else op(out, s)
+    return out
+
+
+def _make_preprocess_kernel(band, W, H, R):
+    E = band + 2 * HALO
+    taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
+    k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
+    # tile row of global row H-1 in the last band (static)
+    p_bot = (H - 1) - ((R - 1) * band - HALO)
+
+    def kernel(ct_ref, ext_ref, bin_ref, gray_ref):
+        r = pl.program_id(1)
+        is_top = r == 0
+        is_bot = r == R - 1
+        bv = ext_ref[0, 0, 0].astype(jnp.int32)
+        gv = ext_ref[0, 1, 0].astype(jnp.int32)
+        rv = ext_ref[0, 2, 0].astype(jnp.int32)
+        gray = (bv * 3735 + gv * 19235 + rv * 9798 + (1 << 14)) >> 15
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (E, W), 0)
+        grow = row_i + r * band - HALO          # global row per tile row
+        oof = (grow < 0) | (grow > H - 1)
+
+        # -- blur5, reflect101 rows at the frame edges ----------------------
+        g = gray
+        for i in (1, 2):
+            g = _row_fix(g, HALO - i, HALO + i, is_top)
+            if 0 <= p_bot + i < E and 0 <= p_bot - i:
+                g = _row_fix(g, p_bot + i, p_bot - i, is_bot)
+        acc = _conv_axis(g, taps5, 1, "reflect101")      # cols: frame edges
+        acc = _conv_axis(acc, taps5, 0, "constant")      # rows: halo covers
+        blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
+
+        # -- adaptive threshold: float mean11 with replicate borders --------
+        bl = blurred
+        bl = _row_fix_range(bl, HALO - 9, HALO, HALO, is_top)
+        if p_bot + 1 < E:
+            bl = _row_fix_range(bl, p_bot + 1, min(p_bot + 10, E), p_bot,
+                                is_bot)
+        mf = _conv_axis(bl.astype(jnp.float32), k11, 1, "replicate")
+        mf = _conv_axis(mf, k11, 0, "constant")
+        mean = jnp.rint(mf).astype(jnp.int32)
+        binary = jnp.where(bl <= mean - ct_ref[0], 255, 0)
+
+        # -- morphology: open (erode, dilate) then close (dilate, erode) ----
+        binary = _minmax3_banded(binary, True, oof)
+        binary = _minmax3_banded(binary, False, oof)
+        binary = _minmax3_banded(binary, False, oof)
+        binary = _minmax3_banded(binary, True, oof)
+
+        # pad rows (>= H) emit background
+        binary = jnp.where(grow > H - 1, 0, binary)
+
+        body = lambda x: jax.lax.slice_in_dim(x, HALO, HALO + band, axis=0)
+        bin_ref[0] = body(binary).astype(jnp.uint8)
+        gray_ref[0] = body(gray).astype(jnp.uint8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def contamination_preprocess_tiled(images, contrast_threshold,
+                                   band: int = 256,
+                                   interpret: bool = False):
+    """[B, H, W, 3] uint8 BGR -> (binary u8 [B, H, W] in {0, 255},
+    gray u8 [B, H, W]) — bit-identical to the XLA op composition
+    gray -> gaussian_blur(5) -> adaptive_threshold(gaussian, inv, 11, C)
+    -> open(3x3) -> close(3x3)  (tests/test_preprocess_tiled.py)."""
+    B, H, W, _ = images.shape
+    R = -(-H // band)
+    E = band + 2 * HALO
+    cm = jnp.transpose(images, (0, 3, 1, 2))             # [B, 3, H, W]
+    # halo-extended banded view: edge-pad rows then one contiguous slice
+    # per band (placeholder rows beyond the frame are overwritten by the
+    # in-kernel border fixups before any stencil reads them)
+    padded = jnp.concatenate(
+        [jnp.repeat(cm[:, :, :1], HALO, axis=2), cm,
+         jnp.repeat(cm[:, :, -1:], HALO + (R * band - H), axis=2)], axis=2)
+    tiles = jnp.stack([
+        jax.lax.slice_in_dim(padded, r * band, r * band + E, axis=2)
+        for r in range(R)], axis=2)                      # [B, 3, R, E, W]
+
+    ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
+    kernel = _make_preprocess_kernel(band, W, H, R)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, R),
+        in_specs=[pl.BlockSpec((1, 3, 1, E, W),
+                               lambda b, r, *_: (b, 0, r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    Hp = R * band
+    binary, gray = pl.pallas_call(
+        kernel,
+        grid_spec=gs,
+        out_shape=(jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                   jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ct, tiles)
+    return binary[:, :H], gray[:, :H]

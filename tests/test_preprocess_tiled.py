@@ -1,0 +1,81 @@
+"""Banded preprocess kernel parity vs the XLA op chain.
+
+contamination_preprocess_tiled must be bit-identical to
+gray -> gaussian_blur(5) -> adaptive_threshold(gaussian, binary_inv, 11, C)
+-> open(3x3) -> close(3x3) from the ops library (itself OpenCV-parity),
+including the frame-edge border semantics the in-kernel fixups reproduce.
+Runs in Pallas interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heimdall_tpu import ops
+from heimdall_tpu.ops.preprocess_tiled import contamination_preprocess_tiled
+
+INTERP = jax.default_backend() == "cpu"
+
+
+def _xla_chain(images, ct):
+    gray = ops.bgr_to_gray(images)
+    blurred = ops.gaussian_blur(gray, 5, 0)
+    binary = ops.adaptive_threshold(blurred, 255, "gaussian", "binary_inv",
+                                    11, jnp.int32(ct))
+    se3 = np.ones((3, 3), np.uint8)
+    binary = ops.morphology_ex(binary, "open", se3)
+    binary = ops.morphology_ex(binary, "close", se3)
+    return binary, gray
+
+
+def _frames(b, h, w, seed, edge_blobs=False):
+    rng = np.random.RandomState(seed)
+    img = np.full((b, h, w, 3), 220, np.uint8)
+    yy, xx = np.ogrid[:h, :w]
+    for i in range(b):
+        spots = [(rng.randint(0, h), rng.randint(0, w))] if edge_blobs \
+            else []
+        # blobs hugging every frame edge to exercise the border fixups
+        if edge_blobs:
+            spots += [(1, w // 2), (h - 2, w // 2), (h // 2, 1),
+                      (h // 2, w - 2), (0, 0), (h - 1, w - 1)]
+        for _ in range(4):
+            spots.append((rng.randint(0, h), rng.randint(0, w)))
+        for cy, cx in spots:
+            r = rng.randint(2, 7)
+            v = rng.randint(0, 70)
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            img[i][m] = (v, v, v)
+    return img
+
+
+@pytest.mark.parametrize("hw,band", [((64, 96), 16), ((70, 128), 32),
+                                     ((48, 64), 48)])
+def test_preprocess_tiled_matches_xla(hw, band):
+    h, w = hw
+    frames = jnp.asarray(_frames(2, h, w, seed=h + band))
+    bin_t, gray_t = contamination_preprocess_tiled(frames, 15, band=band,
+                                                   interpret=INTERP)
+    bin_x, gray_x = _xla_chain(frames, 15)
+    np.testing.assert_array_equal(np.asarray(gray_t), np.asarray(gray_x))
+    np.testing.assert_array_equal(np.asarray(bin_t), np.asarray(bin_x))
+
+
+def test_preprocess_tiled_edge_blobs():
+    frames = jnp.asarray(_frames(2, 80, 96, seed=3, edge_blobs=True))
+    bin_t, gray_t = contamination_preprocess_tiled(frames, 15, band=16,
+                                                   interpret=INTERP)
+    bin_x, gray_x = _xla_chain(frames, 15)
+    np.testing.assert_array_equal(np.asarray(bin_t), np.asarray(bin_x))
+
+
+def test_preprocess_tiled_noise_exact():
+    rng = np.random.RandomState(9)
+    frames = jnp.asarray(rng.randint(0, 256, (2, 64, 96, 3)).astype(
+        np.uint8))
+    bin_t, _ = contamination_preprocess_tiled(frames, 15, band=16,
+                                              interpret=INTERP)
+    bin_x, _ = _xla_chain(frames, 15)
+    np.testing.assert_array_equal(np.asarray(bin_t), np.asarray(bin_x))
