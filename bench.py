@@ -202,13 +202,13 @@ def main():
         run2 = lambda: contamination_program(*args2, ccl_sweeps=6,  # noqa: E731
                                              tiled_band=256)
         np.asarray(run2()[2][0, 0])
+        # deep pipeline: every early force pays the ~24 ms tunnel ack, so
+        # keep all batches in flight and force once at the end
         infl = []
         t1 = time.perf_counter()
-        it2 = 10
+        it2 = 24
         for _ in range(it2):
             infl.append(run2()[2])
-            if len(infl) > 5:
-                np.asarray(infl.pop(0)[0, 0])
         for acc2 in infl:
             np.asarray(acc2[0, 0])
         dt2 = time.perf_counter() - t1

@@ -79,8 +79,11 @@ def contamination_program(images: jnp.ndarray,
         # below — tests/test_preprocess_tiled.py)
         from heimdall_tpu.ops.preprocess_tiled import (
             contamination_preprocess_tiled)
+        # preprocess bands are cheaper at 128 rows (measured on v5e);
+        # independent of the CCL band size
         binary, gray = contamination_preprocess_tiled(
-            images, contrast_threshold, band=tiled_band, interpret=interp)
+            images, contrast_threshold, band=min(tiled_band, 128),
+            interpret=interp)
     else:
         gray = ops.bgr_to_gray(images)
         blurred = ops.gaussian_blur(gray, 5, 0)

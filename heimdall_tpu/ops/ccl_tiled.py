@@ -156,23 +156,23 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             # a one-hot sublane mask — Mosaic rejects (1,1,cap) blocks
             # (middle dim must divide 8 or equal the array dim).
             roots_ref, count_ref = root_refs
-            is_root = ((fg > 0) & (lab == lin)).astype(jnp.int32)
-            pre_row = _cumsum_axis(is_root, 1)
-            row_tot = jnp.broadcast_to(
-                jax.lax.slice_in_dim(pre_row, W - 1, W, axis=1), (Th, W))
-            row_off = _cumsum_axis(row_tot, 0) - row_tot
-            compact = pre_row + row_off - 1          # raster rank at roots
-            count = jnp.sum(is_root)
+            is_root = (fg > 0) & (lab == lin)
+            root_lin = jnp.where(is_root, lin, sentinel)
+            count = jnp.sum(is_root.astype(jnp.int32))
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, roots_cap), 1)
 
-            def slot(k, tbl):
-                v = jnp.min(jnp.where((is_root > 0) & (compact == k), lin,
-                                      sentinel))
-                return jnp.where(lane == k, v, tbl)
+            # successive minima give the raster-ordered roots with ONE
+            # masked reduction per occupied slot — replacing two full-band
+            # prefix-sum stacks (a sweep's worth of shifts) per invocation
+            def slot(k, carry):
+                tbl, prev = carry
+                v = jnp.min(jnp.where(root_lin > prev, root_lin, sentinel))
+                return jnp.where(lane == k, v, tbl), v
 
-            tbl = jax.lax.fori_loop(
+            tbl, _ = jax.lax.fori_loop(
                 0, jnp.minimum(count, roots_cap), slot,
-                jnp.full((1, roots_cap), sentinel, jnp.int32))
+                (jnp.full((1, roots_cap), sentinel, jnp.int32),
+                 jnp.int32(-1)))
 
             band_row = jax.lax.broadcasted_iota(
                 jnp.int32, (n_bands, roots_cap), 0)
