@@ -25,9 +25,10 @@ of its pixels, so band-local minima merge into exactly the whole-frame
 label.  tests/test_ccl_tiled.py asserts equality with ops.ccl on random,
 snake, and spiral masks (including band-crossing geometry).
 
-Hole filling reuses the same machinery on the background (4-connected, the
-complementary connectivity): label the background, merge, then keep only
-components that own a frame-border pixel — everything else is hole.
+Hole filling does NOT label at all: a banded OR-flood grows the exterior
+background (4-connected, the complementary connectivity) from the frame
+border on u8 planes, re-seeding bands with their neighbours' boundary
+rows until a whole round changes nothing; unreached background is hole.
 """
 
 import functools
@@ -38,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from heimdall_tpu.ops.pallas_kernels import (_cumsum_axis, _seg_min_scan,
-                                             _seg_or_scan, _shift_const)
+from heimdall_tpu.ops.pallas_kernels import (_seg_min_scan, _seg_or_scan,
+                                             _shift_const)
 
 
 # ---------------------------------------------------------------------------
@@ -66,8 +67,8 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
 
     With roots_cap > 0 the kernel also emits the band's first roots_cap
     component roots in raster order plus the exact root count — recovered
-    in VMEM for the price of two prefix sums, so callers never need a
-    top_k over the full label image to build blob tables.
+    in VMEM by successive masked minima, so callers never need a top_k
+    over the full label image to build blob tables.
 
     With continuation=True the kernel takes the current label band as a
     second input and runs ``sweeps`` more sweeps from it instead of from
@@ -251,51 +252,6 @@ def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-
-
-def _xla_shift(x, s, axis, fill):
-    """out[i] = x[i-s] along ``axis`` with constant fill (plain XLA)."""
-    if s == 0:
-        return x
-    size = x.shape[axis]
-    a = abs(s)
-    pad_shape = list(x.shape)
-    pad_shape[axis] = a
-    pad = jnp.full(pad_shape, fill, x.dtype)
-    if s > 0:
-        body = jax.lax.slice_in_dim(x, 0, size - a, axis=axis)
-        return jnp.concatenate([pad, body], axis=axis)
-    body = jax.lax.slice_in_dim(x, a, size, axis=axis)
-    return jnp.concatenate([body, pad], axis=axis)
-
-
-def _band_fixpoint(lab_p, band, connectivity, sentinel):
-    """True iff the padded label image is a fixpoint of one band-local
-    neighbor-min step — i.e. the band kernels' sweeps have fully converged.
-
-    Sweeps are compositions of neighbor-min propagation steps, so a
-    one-step fixpoint is a fixpoint of any further sweeping; and min
-    propagation seeded from linear indices converges exactly to the
-    band-local component minima.  This check is what makes the adaptive
-    sweep count *exact*: typical frames stop after the cheap initial
-    sweeps, pathological geometry (spirals) keeps sweeping until done.
-    """
-    B, Hp, W = lab_p.shape
-    R = Hp // band
-    v = lab_p.reshape(B, R, band, W)
-    fg = v < sentinel
-    if connectivity == 8:
-        row = jnp.minimum(v, jnp.minimum(_xla_shift(v, 1, 3, sentinel),
-                                         _xla_shift(v, -1, 3, sentinel)))
-        nm = jnp.minimum(row, jnp.minimum(_xla_shift(row, 1, 2, sentinel),
-                                          _xla_shift(row, -1, 2, sentinel)))
-    else:
-        nm = jnp.minimum(
-            jnp.minimum(_xla_shift(v, 1, 3, sentinel),
-                        _xla_shift(v, -1, 3, sentinel)),
-            jnp.minimum(_xla_shift(v, 1, 2, sentinel),
-                        _xla_shift(v, -1, 2, sentinel)))
-    return ~jnp.any((nm < v) & fg)
 
 
 def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
