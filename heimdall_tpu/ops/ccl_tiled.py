@@ -60,8 +60,8 @@ def _neighbor_min(lab, sentinel, connectivity):
 
 
 def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
-                          roots_cap=0, n_bands=1, continuation=False,
-                          emit_flag=False, emit_edges=False):
+                          roots_cap=0, n_bands=1, emit_edges=False,
+                          to_fixpoint=False):
     """Label one [Th, W] band with global linear indices (band-local
     connectivity only; the merge step joins bands).
 
@@ -70,15 +70,11 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
     in VMEM by successive masked minima, so callers never need a top_k
     over the full label image to build blob tables.
 
-    With continuation=True the kernel takes the current label band as a
-    second input and runs ``sweeps`` more sweeps from it instead of from
-    the linear-index seed — the adaptive path reruns this until the
-    fixpoint check passes.
-
-    With emit_flag=True the kernel also writes a per-band convergence
-    flag (1 iff one more neighbor-min step would change nothing) — one
-    extra neighbor-min in VMEM, far cheaper than an XLA fixpoint pass
-    over the label image in HBM.
+    With to_fixpoint=True the sweep loop is an in-kernel while_loop that
+    exits at a certified neighbor-min fixpoint (adjacent labels can no
+    longer decrease each other => constant per component): ONE launch
+    labels every band exactly for any geometry, with no continuation
+    kernels or convergence-flag round trips.  ``sweeps`` is then ignored.
 
     With emit_edges=True the kernel also writes its first and last label
     rows to a [B, R, 2, W] table, so the interface merge reads boundary
@@ -86,33 +82,23 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
     full label image (which costs a relayout copy of the whole image).
     """
 
-    def kernel(mask_ref, *rest):
-        if continuation:
-            init_ref, lab_ref, *extra_refs = rest
-        else:
-            lab_ref, *extra_refs = rest
-            init_ref = None
+    def kernel(mask_ref, lab_ref, *extra_refs):
         if emit_edges:
             edge_ref, *extra_refs = extra_refs
-        if emit_flag:
-            flag_ref = extra_refs[-1]
-            root_refs = extra_refs[:-1]
-        else:
-            root_refs = extra_refs
+        root_refs = extra_refs
         r = pl.program_id(1)
         # load as int32 before any compare — Mosaic rejects unsigned i8 cmp
         fg = mask_ref[0].astype(jnp.int32)  # 0/1 plane
         row = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 0) + r * Th
         col = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 1)
         lin = row * W + col
-        lab0 = (init_ref[0] if continuation
-                else jnp.where(fg > 0, lin, sentinel))
+        lab0 = jnp.where(fg > 0, lin, sentinel)
 
         bg = 1 - fg
         fg_t = jnp.transpose(fg)
         bg_t = jnp.transpose(bg)
 
-        def body(_, lab):
+        def sweep(lab):
             lab = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
                                                   connectivity), sentinel)
             lab = _seg_min_scan(lab, bg, 1, False, sentinel)
@@ -126,30 +112,26 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
             return jnp.transpose(lab_t)
 
-        lab = jax.lax.fori_loop(0, sweeps, body, lab0)
+        if to_fixpoint:
+            def cond(c):
+                return c[1] > 0
+
+            def bodyw(c):
+                lab = sweep(c[0])
+                nm = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
+                                                     connectivity),
+                               sentinel)
+                return lab, jnp.max(jnp.where(nm < lab, 1, 0))
+
+            lab, _ = jax.lax.while_loop(cond, bodyw, (lab0, jnp.int32(1)))
+        else:
+            lab = jax.lax.fori_loop(0, sweeps, lambda _, l: sweep(l), lab0)
         lab_ref[0] = lab
 
         if emit_edges:
             edge_ref[0, 0] = jnp.concatenate(
                 [jax.lax.slice_in_dim(lab, 0, 1, axis=0),
                  jax.lax.slice_in_dim(lab, Th - 1, Th, axis=0)], axis=0)
-
-        if emit_flag:
-            nm = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
-                                                 connectivity), sentinel)
-            changed = jnp.max(jnp.where((fg > 0) & (nm < lab), 1, 0))
-            # [1, R, 1] whole-frame block (same across r steps; row r set
-            # via iota mask — a (1, 1) block breaks Mosaic's tiling rule)
-            row_sel = (jax.lax.broadcasted_iota(jnp.int32, (n_bands, 1), 0)
-                       == r)
-
-            @pl.when(r == 0)
-            def _():
-                flag_ref[0] = jnp.zeros((n_bands, 1), jnp.int32)
-
-            flag_ref[0] = jnp.where(
-                row_sel, jnp.full((n_bands, 1), 1 - changed, jnp.int32),
-                flag_ref[0])
 
         if roots_cap:
             # [1, R, cap] / [1, R, 1] blocks stay VMEM-resident across the
@@ -196,29 +178,21 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
 
 
 def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
-                   sentinel, init=None, emit_flag=False, emit_edges=False):
+                   sentinel, emit_edges=False, to_fixpoint=False):
     """One band-CCL pallas_call over padded inputs.
 
-    ``m`` is uint8 [B, Hp, W] (Hp a multiple of ``band``); ``init``, when
-    given, is the current padded label image to continue sweeping from.
+    ``m`` is uint8 [B, Hp, W] (Hp a multiple of ``band``).
     Returns [labels] (+ [edges [B, R, 2, W] with emit_edges]) (+
-    [band_roots, counts] with roots_cap) (+ [flags [B, R] i32] with
-    emit_flag — always last) — all padded shapes.
+    [band_roots, counts] with roots_cap) — all padded shapes.
     """
     B, Hp, W = m.shape
     R = Hp // band
     kernel = _make_band_ccl_kernel(band, W, sentinel, connectivity, sweeps,
                                    roots_cap, n_bands=R,
-                                   continuation=init is not None,
-                                   emit_flag=emit_flag,
-                                   emit_edges=emit_edges)
+                                   emit_edges=emit_edges,
+                                   to_fixpoint=to_fixpoint)
     band_spec = pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [band_spec]
-    args = [m]
-    if init is not None:
-        in_specs.append(band_spec)
-        args.append(init)
     out_specs = [band_spec]
     out_shape = [jax.ShapeDtypeStruct((B, Hp, W), jnp.int32)]
     if emit_edges:
@@ -238,34 +212,28 @@ def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
         ]
         out_shape += [jax.ShapeDtypeStruct((B, R, roots_cap), jnp.int32),
                       jax.ShapeDtypeStruct((B, R, 1), jnp.int32)]
-    if emit_flag:
-        out_specs.append(pl.BlockSpec((1, R, 1), lambda b, r: (b, 0, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((B, R, 1), jnp.int32))
     return pl.pallas_call(
         kernel,
         grid=(B, R),
-        in_specs=in_specs,
+        in_specs=[band_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*args)
+    )(m)
 
 
 def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
-              adaptive=False, cont_sweeps=2, emit_edges=False):
+              adaptive=False, emit_edges=False):
     """Band-local labels for a [B, H, W] bool mask (padded to full bands).
 
     Returns (labels[, edge_rows [B, R, 2, W]][, band_roots [B, R, cap],
     counts [B, R]]) — extras in that order per the flags.
 
-    With adaptive=True, ``sweeps`` is only the initial count: a band-local
-    fixpoint check follows, and non-converged frames keep running
-    ``cont_sweeps``-sweep continuation kernels until exact — so callers
-    can default to the cheap typical case without giving up exactness on
-    pathological masks.
+    With adaptive=True the kernels run their sweep loops to an in-VMEM
+    certified fixpoint (``sweeps`` is ignored): one launch, exact for any
+    geometry.
     """
     B, H, W = mask.shape
     R = -(-H // band)
@@ -276,23 +244,8 @@ def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
         m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
 
     out = _band_ccl_call(m, connectivity, band, sweeps, interpret,
-                         roots_cap, sentinel, emit_flag=adaptive,
-                         emit_edges=emit_edges)
-
-    if adaptive:
-        # the kernels emit per-band convergence flags in VMEM (an extra
-        # neighbor-min, ~free); keep sweeping until every band fixpoints
-        def cond(carry):
-            return jnp.min(carry[-1]) < 1
-
-        def body(carry):
-            lab = carry[0]
-            nxt = _band_ccl_call(m, connectivity, band, cont_sweeps,
-                                 interpret, roots_cap, sentinel, init=lab,
-                                 emit_flag=True, emit_edges=emit_edges)
-            return tuple(nxt)
-
-        out = list(jax.lax.while_loop(cond, body, tuple(out)))[:-1]
+                         roots_cap, sentinel, emit_edges=emit_edges,
+                         to_fixpoint=adaptive)
 
     res = [out[0][:, :H]]
     idx = 1
