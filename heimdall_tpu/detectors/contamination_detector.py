@@ -102,16 +102,20 @@ def contamination_program(images: jnp.ndarray,
         # adaptive mode: 2 initial sweeps + fixpoint-checked continuation,
         # exact for any geometry.  Production scenes converge immediately,
         # so this runs ~1/3 the sweep cost of the old fixed 6.
-        mask = ccl_tiled.fill_holes_tiled(binary > 0, band=tiled_band,
+        # 128-row bands measured faster than 256 for the flood and the
+        # CCL on v5e (shorter scans, faster per-band convergence); the
+        # stats kernels must share the CCL band for the slot tables
+        band = min(tiled_band, 128)
+        mask = ccl_tiled.fill_holes_tiled(binary > 0, band=band,
                                           sweeps=2, adaptive=True,
                                           interpret=interp)
         labels, root_table, root_count, slot_list, slot_count = (
             ccl_tiled.connected_components_tiled(
-                mask, connectivity=8, band=tiled_band, sweeps=2,
+                mask, connectivity=8, band=band, sweeps=2,
                 adaptive=True, interpret=interp, return_roots=max_blobs,
                 band_slots=True))
         from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
-        table = blob_stats_tiled(labels, mask, gray, color, band=tiled_band,
+        table = blob_stats_tiled(labels, mask, gray, color, band=band,
                                  max_blobs=max_blobs, use_color=use_color,
                                  root_table=root_table,
                                  root_count=root_count,
