@@ -5,6 +5,8 @@ Equivalent of the reference example rust/examples/camera_capture.rs:
 create a camera via the factory, acquire N frames, report timing.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 from heimdall_tpu.camera.hal import CameraFactory

@@ -6,6 +6,8 @@ GigE cameras, acquire synchronized FrameSets, batch them onto the TPU for
 contamination detection, print per-set verdicts and diagnostics.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from heimdall_tpu.camera.gige import GigESystem, SyncMode

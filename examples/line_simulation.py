@@ -11,6 +11,8 @@ pulses.  The loop reports sustained bottles/hour and whether the 90k BPH /
 Usage: python examples/line_simulation.py [seconds] [bottles_per_trigger]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

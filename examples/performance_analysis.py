@@ -6,6 +6,8 @@ wrapping a simulated camera + TPU detection workload, producing a
 multi-format performance report.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from heimdall_tpu.camera.hal import CameraFactory

@@ -8,6 +8,8 @@ auto-intensity calibration, synchronized strobe-per-trigger acquisition,
 and a final health/diagnostics pass.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from heimdall_tpu.camera.hal import CameraFactory

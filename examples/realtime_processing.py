@@ -7,6 +7,8 @@ drains batches and runs the fused TPU contamination program; latency and
 jitter statistics print at the end.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -6,6 +6,8 @@ cv2.imshow display dependency): generate simulated frames, run a small
 pipeline, print per-stage timings.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from heimdall_tpu.core.acquisition import SimulationImageSource

@@ -8,6 +8,8 @@ original/processed/visualization images to results/ (viewable with
 ``python -m heimdall_tpu.serving.web_viewer``), and print summary stats.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 import numpy as np
