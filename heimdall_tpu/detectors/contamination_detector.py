@@ -214,7 +214,13 @@ class ContaminationDetector(DefectDetector):
                 float(self.max_contaminant_size),
                 float(self.min_confidence),
                 max_blobs=self.max_blobs, use_color=self.use_color,
-                formula=self.formula, sweeps=max(self.ccl_sweeps, 1),
+                formula=self.formula,
+                # ccl_sweeps=0 means "loop to fixpoint", which only the
+                # adaptive kernels honor; with adaptive off an explicit
+                # budget is required — fall back to 6 (the old fixed
+                # known-sufficient default), never clamp 0 up to 1.
+                sweeps=(self.ccl_sweeps if self.ccl_sweeps > 0
+                        else (2 if self.ccl_adaptive else 6)),
                 adaptive=self.ccl_adaptive)
         # Large WORKLOADS route to the band-tiled Pallas CCL on accelerator
         # platforms for BOTH backends: it is ~2x faster than the whole-frame

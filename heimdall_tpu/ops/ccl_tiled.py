@@ -688,15 +688,20 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     n_blobs [B]), recovered from the band kernels' per-band root tables so
     blob_stats skips its full-image top_k.
 
-    With adaptive=True, ``sweeps`` becomes the initial count and a
-    fixpoint check + continuation kernels guarantee exactness — callers
-    can pass sweeps=2 for typical scenes at no correctness risk.
+    With adaptive=True, ``sweeps`` is ignored: the band kernels run an
+    in-kernel ``lax.while_loop`` to a certified neighbor-min fixpoint,
+    exact for any geometry.  (With adaptive=False, ``sweeps`` is the fixed
+    per-band budget — a correctness hazard for snaky geometry; prefer
+    adaptive.)
 
-    With band_slots=True (requires return_roots), additionally returns
+    With band_slots=True (requires return_roots > 0), additionally returns
     (slot_list [B, R, K] i32, slot_count [B, R] i32) — per band, which
     table slots have pixels there (see _merge_with_roots) — for
     blob_stats_tiled to skip empty (slot, band) pairs.
     """
+    if band_slots and not return_roots:
+        raise ValueError("band_slots=True requires return_roots > 0 "
+                         "(slot tables are recovered from the root table)")
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]

@@ -210,11 +210,13 @@ def canny(image: jnp.ndarray, threshold1: float, threshold2: float,
     """Canny edge detection following OpenCV's algorithm.
 
     Gradient (3x3 Sobel, replicate border), L1 or L2 magnitude, OpenCV's
-    integer sector logic for non-maximum suppression, and hysteresis by
-    iterative propagation of strong edges through weak candidates (a
-    bounded ``lax.while_loop`` — the TPU-native replacement for OpenCV's
-    sequential stack walk).  Close to cv2.Canny (boundary-pixel level);
-    exactness is not guaranteed for every tie case.
+    integer sector logic for non-maximum suppression (including its exact
+    tie-breaking: >/>= for the horizontal and vertical sectors, strict >
+    on both diagonal neighbours), and hysteresis by iterative propagation
+    of strong edges through weak candidates (a bounded ``lax.while_loop``
+    — the TPU-native replacement for OpenCV's sequential stack walk).
+    Bit-exact vs cv2.Canny for aperture 3 (golden-tested on fixtures and
+    random frames, both L1 and L2 gradients).
 
     Reference behavior: heimdall/core/pipeline.py:246-259 (CannyEdgeStage).
     """
@@ -227,10 +229,12 @@ def canny(image: jnp.ndarray, threshold1: float, threshold2: float,
     gy = sobel(gray, 0, 1)
     if l2_gradient:
         mag = gx * gx + gy * gy
-        low, high = int(low * low), int(high * high)
-    else:
-        mag = jnp.abs(gx) + jnp.abs(gy)
-        low, high = int(math.floor(low)), int(math.floor(high))
+        # cv2: clamp to 32767, square only positive thresholds, then floor
+        low, high = min(32767.0, low), min(32767.0, high)
+        low = low * low if low > 0 else low
+        high = high * high if high > 0 else high
+    mag = mag if l2_gradient else jnp.abs(gx) + jnp.abs(gy)
+    low, high = int(math.floor(low)), int(math.floor(high))
 
     # Pad magnitude with zeros so border pixels compare against 0 neighbours.
     def shift(a, di, dj):
@@ -252,10 +256,12 @@ def canny(image: jnp.ndarray, threshold1: float, threshold2: float,
     diag = (~horiz) & (~vert)
     same_sign = (gx ^ gy) >= 0  # gradient in main diagonal direction
 
+    # cv2's exact tie-breaking: horizontal/vertical compare (>, >=) against
+    # (prev, next); the diagonal sectors compare strictly (>) on BOTH.
     keep_h = (m > shift(m, 0, -1)) & (m >= shift(m, 0, 1))
     keep_v = (m > shift(m, -1, 0)) & (m >= shift(m, 1, 0))
-    keep_d1 = (m > shift(m, -1, -1)) & (m >= shift(m, 1, 1))   # "\" diagonal
-    keep_d2 = (m > shift(m, -1, 1)) & (m >= shift(m, 1, -1))   # "/" diagonal
+    keep_d1 = (m > shift(m, -1, -1)) & (m > shift(m, 1, 1))    # "\" diagonal
+    keep_d2 = (m > shift(m, -1, 1)) & (m > shift(m, 1, -1))    # "/" diagonal
 
     keep = jnp.where(horiz, keep_h,
            jnp.where(vert, keep_v,

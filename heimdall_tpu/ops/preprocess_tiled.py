@@ -81,13 +81,17 @@ def _make_preprocess_kernel(band, W, H, R):
     E = band + 2 * HALO
     taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
     k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
-    # tile row of global row H-1 in the last band (static)
-    p_bot = (H - 1) - ((R - 1) * band - HALO)
+    # Every band whose halo-extended window contains the bottom frame edge
+    # needs the bottom fixups — when H % band <= 6 that includes band R-2,
+    # whose last output rows have stencils reaching past row H-1.  The tile
+    # row of global row H-1 is static per band id, so precompute (id, pos)
+    # pairs and gate each fixup on r == id.
+    bot_bands = [(rr, (H - 1) - (rr * band - HALO)) for rr in range(R)]
+    bot_bands = [(rr, p) for rr, p in bot_bands if 0 <= p < E]
 
     def kernel(ct_ref, ext_ref, bin_ref, gray_ref):
         r = pl.program_id(1)
         is_top = r == 0
-        is_bot = r == R - 1
         bv = ext_ref[0, 0, 0].astype(jnp.int32)
         gv = ext_ref[0, 1, 0].astype(jnp.int32)
         rv = ext_ref[0, 2, 0].astype(jnp.int32)
@@ -101,8 +105,9 @@ def _make_preprocess_kernel(band, W, H, R):
         g = gray
         for i in (1, 2):
             g = _row_fix(g, HALO - i, HALO + i, is_top)
-            if 0 <= p_bot + i < E and 0 <= p_bot - i:
-                g = _row_fix(g, p_bot + i, p_bot - i, is_bot)
+            for rr, p in bot_bands:
+                if 0 <= p + i < E and 0 <= p - i:
+                    g = _row_fix(g, p + i, p - i, r == rr)
         acc = _conv_axis(g, taps5, 1, "reflect101")      # cols: frame edges
         acc = _conv_axis(acc, taps5, 0, "constant")      # rows: halo covers
         blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
@@ -110,9 +115,9 @@ def _make_preprocess_kernel(band, W, H, R):
         # -- adaptive threshold: float mean11 with replicate borders --------
         bl = blurred
         bl = _row_fix_range(bl, HALO - 9, HALO, HALO, is_top)
-        if p_bot + 1 < E:
-            bl = _row_fix_range(bl, p_bot + 1, min(p_bot + 10, E), p_bot,
-                                is_bot)
+        for rr, p in bot_bands:
+            if p + 1 < E:
+                bl = _row_fix_range(bl, p + 1, min(p + 10, E), p, r == rr)
         mf = _conv_axis(bl.astype(jnp.float32), k11, 1, "replicate")
         mf = _conv_axis(mf, k11, 0, "constant")
         mean = jnp.rint(mf).astype(jnp.int32)

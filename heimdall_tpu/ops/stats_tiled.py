@@ -53,8 +53,14 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
     VMEM inputs per step: labels band [1, band, W] i32, gray band
     [1, band, W] u8, boundary band [1, band, W] u8, (optional) color
     bands [1, 3, band, W] u8.
-    Outputs (same block across the r steps): sums [1, S, K] f32 and
+    Outputs (same block across the r steps): sums [1, S, K] i32 and
     bbox [1, 4, K] i32 (x0, y0, x1, y1; neutral W, H, -1, -1).
+
+    Accumulation is int32 for exactness (f32 loses integer precision past
+    2^24, reachable for large blobs at 2 MP).  Magnitude bound: the worst
+    case is a whole-frame blob — sum of col indexes H*W*(W-1)/2 ≈ 2.0e9 at
+    1920x1080 — so anything up to the 2 MP design point fits int32;
+    beyond ~2.2 MP the X-sum could wrap (contract limit, asserted below).
     """
     S = 8 if with_color else 5
     H = n_bands * band  # only used as the bbox neutral; callers re-mask
@@ -75,15 +81,12 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
         lab = lab_ref[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (band, W), 0) + r * band
         col = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
-        # uint8 loads go through int32 — Mosaic rejects u8 -> f32 casts
-        grayf = gray_ref[0].astype(jnp.int32).astype(jnp.float32)
-        bndf = bnd_ref[0].astype(jnp.int32).astype(jnp.float32)
-        row_f = row.astype(jnp.float32)
-        col_f = col.astype(jnp.float32)
+        grayi = gray_ref[0].astype(jnp.int32)
+        bndi = bnd_ref[0].astype(jnp.int32)
         if with_color:
-            bf = color_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-            gf = color_ref[0, 1].astype(jnp.int32).astype(jnp.float32)
-            rf = color_ref[0, 2].astype(jnp.int32).astype(jnp.float32)
+            bi = color_ref[0, 0].astype(jnp.int32)
+            gi = color_ref[0, 1].astype(jnp.int32)
+            ri = color_ref[0, 2].astype(jnp.int32)
 
         laneS = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
         lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, K), 1)
@@ -91,7 +94,7 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
 
         @pl.when(r == 0)
         def _():
-            sums_ref[0] = jnp.zeros((S, K), jnp.float32)
+            sums_ref[0] = jnp.zeros((S, K), jnp.int32)
             neutral = jnp.where(sub4 == 0, W,
                                 jnp.where(sub4 == 1, H, -1))
             bbox_ref[0] = neutral.astype(jnp.int32)
@@ -101,20 +104,20 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
             k = sl_ref[b, r, t] if with_slots else t
             root = rl_ref[b, k]
             m = lab == root
-            mf = m.astype(jnp.float32)
+            mi = m.astype(jnp.int32)
             cols = [
-                jnp.sum(mf).reshape(1, 1),
-                jnp.sum(mf * bndf).reshape(1, 1),
-                jnp.sum(mf * col_f).reshape(1, 1),
-                jnp.sum(mf * row_f).reshape(1, 1),
-                jnp.sum(mf * grayf).reshape(1, 1),
+                jnp.sum(mi).reshape(1, 1),
+                jnp.sum(mi * bndi).reshape(1, 1),
+                jnp.sum(mi * col).reshape(1, 1),
+                jnp.sum(mi * row).reshape(1, 1),
+                jnp.sum(mi * grayi).reshape(1, 1),
             ]
             if with_color:
-                cols += [jnp.sum(mf * bf).reshape(1, 1),
-                         jnp.sum(mf * gf).reshape(1, 1),
-                         jnp.sum(mf * rf).reshape(1, 1)]
+                cols += [jnp.sum(mi * bi).reshape(1, 1),
+                         jnp.sum(mi * gi).reshape(1, 1),
+                         jnp.sum(mi * ri).reshape(1, 1)]
             stat_col = jnp.concatenate(cols, axis=0)          # [S, 1]
-            sums = sums + jnp.where(laneS == k, stat_col, jnp.float32(0.0))
+            sums = sums + jnp.where(laneS == k, stat_col, 0)
 
             x0 = jnp.min(jnp.where(m, col, W))
             y0 = jnp.min(jnp.where(m, row, H))
@@ -247,6 +250,11 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     slot loop to components actually present in that band.
     """
     B, H, W = labels.shape
+    # int32 accumulator bound (see _make_banded_stats_kernel): the X-sum of
+    # a whole-frame blob is H * W*(W-1)/2; must fit int32.  Holds through
+    # the 2 MP design point (1920x1080 -> 2.0e9); ~2.2 MP is the limit.
+    assert H * (W * (W - 1) // 2) < 2**31, (
+        f"frame {H}x{W} exceeds blob_stats_tiled's int32 sum bound")
     K = max_blobs
     sentinel = H * W
     R = -(-H // band)
@@ -306,7 +314,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     sums, bbox = pl.pallas_call(
         kernel,
         grid_spec=gs,
-        out_shape=(jax.ShapeDtypeStruct((B, S, K), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, S, K), jnp.int32),
                    jax.ShapeDtypeStruct((B, 4, K), jnp.int32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -314,21 +322,21 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     )(*scalars, *args)
 
     # ---- assemble the BlobTable (same math as ops/blobs.py) ---------------
-    area_px_f = sums[:, S_ONES]
-    area_px = area_px_f.astype(jnp.int32)
+    area_px = sums[:, S_ONES]
     valid = area_px > 0
     safe_px = jnp.maximum(area_px, 1)
-    area = area_px_f - 0.5 * sums[:, S_BND] - 1.0
+    area = (area_px.astype(jnp.float32)
+            - 0.5 * sums[:, S_BND].astype(jnp.float32) - 1.0)
 
-    cx = sums[:, S_X].astype(jnp.int32) // safe_px
-    cy = sums[:, S_Y].astype(jnp.int32) // safe_px
+    cx = sums[:, S_X] // safe_px
+    cy = sums[:, S_Y] // safe_px
 
     x0 = jnp.where(valid, bbox[:, 0], 0)
     y0 = jnp.where(valid, bbox[:, 1], 0)
     w = jnp.where(valid, bbox[:, 2] - bbox[:, 0] + 1, 0)
     h = jnp.where(valid, bbox[:, 3] - bbox[:, 1] + 1, 0)
 
-    fg_sum = sums[:, S_GRAY].astype(jnp.int32)
+    fg_sum = sums[:, S_GRAY]
     if with_slots:
         # banded bbox sums — a second kernel pass over the incidence
         # bands; kills the 4 dense integral images (~1 ms/frame at 2 MP)
@@ -354,7 +362,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     if with_color:
         diffs = []
         for ch, srow in ((0, S_B), (1, S_G), (2, S_R)):
-            c_fg = sums[:, srow].astype(jnp.int32)
+            c_fg = sums[:, srow]
             if with_slots:
                 c_bbox = box_sums[:, 1 + ch]
             else:

@@ -59,20 +59,27 @@ def host_batch_to_global(mesh: Mesh, local_frames: np.ndarray,
 def line_totals(per_host_counts: dict) -> dict:
     """All-reduce host-side counters across the job (frames/defects/...).
 
-    Uses a tiny device psum so the result is identical on every host;
-    single-process jobs return the input unchanged.
+    Each host tiles its counter vector onto its local devices; a jitted
+    global sum with a replicated out_sharding reduces over every device
+    (XLA inserts the cross-host collective), and dividing by the local
+    tile factor recovers the per-host sum.  Assumes homogeneous hosts
+    (equal local_device_count — true for TPU slices).  The result is
+    identical on every host; single-process jobs return the input
+    unchanged.  Verified across a real process boundary by
+    tests/test_multihost.py (a plain in-jit psum fails there: unbound
+    axis name — shard_map-only).
     """
     if jax.process_count() == 1:
         return dict(per_host_counts)
+    import jax.numpy as jnp
+
     keys = sorted(per_host_counts)
-    vec = np.asarray([per_host_counts[k] for k in keys], np.float64)
+    vec = np.asarray([per_host_counts[k] for k in keys], np.float32)
     mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("d",))
-    summed = jax.jit(
-        lambda x: jax.lax.psum(x, "d"),
-        out_shardings=NamedSharding(mesh, P()))(
-            jax.make_array_from_process_local_data(
-                NamedSharding(mesh, P("d")),
-                np.tile(vec[None], (jax.local_device_count(), 1))))
-    out = np.asarray(summed) / jax.device_count()  # undo replication
-    return {k: float(v) * jax.process_count()
-            for k, v in zip(keys, out)}
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("d")),
+        np.tile(vec[None], (jax.local_device_count(), 1)))
+    summed = jax.jit(lambda x: jnp.sum(x, axis=0),
+                     out_shardings=NamedSharding(mesh, P()))(arr)
+    out = np.asarray(summed) / jax.local_device_count()
+    return {k: float(v) for k, v in zip(keys, out)}

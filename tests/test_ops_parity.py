@@ -229,13 +229,24 @@ class TestHistogram:
 
 
 class TestCanny:
-    def test_close_to_cv2(self, rng):
+    def test_exact_on_bottle(self, rng):
         gray = cv2.cvtColor(_bottle(rng), cv2.COLOR_BGR2GRAY)
         blurred = cv2.GaussianBlur(gray, (5, 5), 0)
         got = np.asarray(ops.canny(jnp.asarray(blurred.astype(np.int32)),
-                                   50, 150)) > 0
-        want = cv2.Canny(blurred, 50, 150) > 0
-        inter = (got & want).sum()
-        union = (got | want).sum()
-        if union:
-            assert inter / union > 0.9, f"IoU {inter/union}"
+                                   50, 150))
+        want = cv2.Canny(blurred, 50, 150)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("l2", [False, True])
+    def test_exact_on_random(self, l2):
+        r = np.random.RandomState(7 + l2)
+        for t in range(6):
+            h, w = r.randint(16, 120), r.randint(16, 160)
+            img = r.randint(0, 256, (h, w)).astype(np.uint8)
+            if t % 2:
+                img = cv2.GaussianBlur(img, (5, 5), 0)
+            t1, t2 = sorted(r.randint(5, 400, 2).tolist())
+            got = np.asarray(ops.canny(jnp.asarray(img.astype(np.int32)),
+                                       t1, t2, l2_gradient=l2))
+            want = cv2.Canny(img, t1, t2, L2gradient=l2)
+            np.testing.assert_array_equal(got, want, err_msg=f"iter {t}")

@@ -52,7 +52,13 @@ def _frames(b, h, w, seed, edge_blobs=False):
 
 
 @pytest.mark.parametrize("hw,band", [((64, 96), 16), ((70, 128), 32),
-                                     ((48, 64), 48)])
+                                     ((48, 64), 48),
+                                     # H % band in 1..6: the bottom frame
+                                     # edge sits inside band R-2's halo
+                                     # window (regression: fixups were
+                                     # gated on the last band only)
+                                     ((35, 96), 16), ((100, 96), 48),
+                                     ((81, 64), 16)])
 def test_preprocess_tiled_matches_xla(hw, band):
     h, w = hw
     frames = jnp.asarray(_frames(2, h, w, seed=h + band))
