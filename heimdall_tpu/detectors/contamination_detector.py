@@ -160,8 +160,12 @@ class ContaminationDetector(DefectDetector):
         self.include_contours = self.config.get("include_contours", True)
         # exact_geometry replaces the device approximations (Pick's-theorem
         # area, pixel centroid) with bit-exact polygon geometry traced
-        # host-side per accepted blob, and re-applies gates with it.
-        self.exact_geometry = self.config.get("exact_geometry", False)
+        # host-side, and re-applies gates with it.  "auto" (default) traces
+        # accepted blobs (whose boundary the contour metadata needs anyway)
+        # plus any blob within ±2 px² / ±0.02 conf of a gate boundary —
+        # reference-exact output at ~zero extra host cost.  True forces the
+        # trace for every valid blob; False keeps raw device values.
+        self.exact_geometry = self.config.get("exact_geometry", "auto")
         # Propagation sweeps for the whole-frame XLA path (0 = loop to
         # fixpoint — the default: a fixed budget is a correctness hazard.
         # TPU measurement found bench-scene frames where 6 sweeps split one
@@ -272,18 +276,44 @@ class ContaminationDetector(DefectDetector):
             jax.device_get(table), np.asarray(conf), np.asarray(accepted),
             labels_np)
 
+    def _candidate_slots(self, i, table, conf, accepted, valid):
+        """Blob slots worth host-side work for frame i under "auto" exact
+        geometry: everything accepted, plus any valid blob whose device
+        area/confidence sits within the approximation margin of a gate
+        boundary (Pick's-theorem area deviates ≤ ~1 px² on self-touching
+        outlines; shape-score knock-on ≤ ~0.02 conf) — those can flip
+        accept/reject once re-measured exactly."""
+        area = np.asarray(table.area[i], np.float64)
+        near_size = np.minimum(np.abs(area - self.min_contaminant_size),
+                               np.abs(area - self.max_contaminant_size)) <= 2
+        in_size_loose = ((area >= self.min_contaminant_size - 2)
+                         & (area <= self.max_contaminant_size + 2))
+        near_conf = np.abs(np.asarray(conf[i], np.float64)
+                           - self.min_confidence) <= 0.02
+        boundary = valid[i] & in_size_loose & (near_size | near_conf)
+        return np.nonzero(accepted[i] | boundary)[0]
+
     def _table_to_defects(self, table, conf, accepted,
                           labels: Optional[np.ndarray]) -> List[List[Defect]]:
-        exact = self.exact_geometry and labels is not None
+        mode = self.exact_geometry
+        exact = mode and labels is not None     # True or "auto"
         results: List[List[Defect]] = []
         n = accepted.shape[0]
         valid = np.asarray(table.valid)
+        accepted = np.asarray(accepted)
         for i in range(n):
             defects: List[Defect] = []
-            # In exact mode re-gate over all valid blobs with the bit-exact
-            # polygon area (a Pick's-theorem blob within 1 px^2 of a gate
-            # boundary can flip accept/reject versus the reference).
-            candidates = np.nonzero(valid[i] if exact else accepted[i])[0]
+            # Exact modes re-gate with the bit-exact polygon area (a
+            # Pick's-theorem blob within 1 px² of a gate boundary can flip
+            # accept/reject versus the reference): True over every valid
+            # blob, "auto" only over accepted + gate-boundary blobs.
+            if not exact:
+                candidates = np.nonzero(accepted[i])[0]
+            elif mode == "auto":
+                candidates = self._candidate_slots(i, table, conf, accepted,
+                                                   valid)
+            else:
+                candidates = np.nonzero(valid[i])[0]
             for k in candidates:
                 bbox = (int(table.x[i][k]), int(table.y[i][k]),
                         int(table.w[i][k]), int(table.h[i][k]))

@@ -68,17 +68,52 @@ def test_defect_parity_vs_reference(ref_detector_cls, config):
                 f"want {[(d.position, d.size) for d in want]}")
             unmatched = list(want)
             for d in got:
+                # default ("auto") exact geometry: area and centroid are
+                # the reference's own contour values — assert equality
                 match = None
                 for w in unmatched:
-                    if (abs(d.position[0] - w.position[0]) <= 1
-                            and abs(d.position[1] - w.position[1]) <= 1):
+                    if d.position == w.position:
                         match = w
                         break
                 assert match is not None, f"no reference match for {d}"
                 unmatched.remove(match)
-                assert abs(d.size - match.size) <= 1.01
+                assert abs(d.size - match.size) < 1e-6, (d.size, match.size)
                 assert abs(d.confidence - match.confidence) <= 0.02
                 assert tuple(d.metadata["bounding_box"]) == \
                     tuple(match.metadata["bounding_box"])
+    finally:
+        logging.disable(logging.NOTSET)
+
+
+def test_self_touching_outline_parity(ref_detector_cls):
+    """Corner-touching blobs (self-touching outer contour) are where
+    Pick's-theorem area deviates from cv2.contourArea; the default "auto"
+    exact-geometry mode must still match the reference exactly."""
+    import logging
+    logging.disable(logging.CRITICAL)
+    try:
+        img = np.full((120, 160, 3), 220, np.uint8)
+        # two dark squares meeting at one diagonal corner -> one
+        # 8-connected component with a self-touching outline
+        img[30:45, 40:55] = 20
+        img[45:60, 55:70] = 20
+        # and a diagonal chain of three small squares
+        img[70:78, 100:108] = 15
+        img[78:86, 108:116] = 15
+        img[86:94, 116:124] = 15
+        ref = ref_detector_cls(config={"max_contaminant_size": 100000})
+        from heimdall_tpu.detectors.contamination_detector import (
+            ContaminationDetector)
+        mine = ContaminationDetector(config={"max_contaminant_size": 100000})
+        want = ref.detect(img.copy())
+        got = mine.detect(img.copy())
+        assert len(got) == len(want), (
+            [(d.position, d.size) for d in got],
+            [(d.position, d.size) for d in want])
+        for d, w in zip(sorted(got, key=lambda d: d.position),
+                        sorted(want, key=lambda d: d.position)):
+            assert d.position == w.position
+            assert abs(d.size - w.size) < 1e-6, (d.size, w.size)
+            assert abs(d.confidence - w.confidence) <= 0.02
     finally:
         logging.disable(logging.NOTSET)
