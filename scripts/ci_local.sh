@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Local replay of .github/workflows/ci.yml (the workflow has never run on
+# a hosted runner — no egress from this environment), proving the steps
+# from a clean tree: native build from scratch, full pytest suite on the
+# virtual 8-device CPU platform, the driver's multi-chip dryrun, and a
+# bench smoke (XLA backend, tiny batch; runs on whatever platform JAX
+# finds — CPU included).
+#
+# Usage: scripts/ci_local.sh [--quick]
+#   --quick: skip the full pytest suite (smoke-level checks only)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/4] native build (from clean) =="
+make -C native clean
+make -C native
+python - <<'EOF'
+from heimdall_tpu.native_bridge import NativeBridge
+assert NativeBridge.is_available(), "native library failed to load"
+print("native bridge OK")
+EOF
+
+echo "== [2/4] test suite (8 virtual CPU devices) =="
+if [[ "${1:-}" != "--quick" ]]; then
+    python -m pytest tests/ -q
+else
+    python -m pytest tests/test_core.py tests/test_runtime.py -q
+fi
+
+echo "== [3/4] multi-chip dryrun =="
+python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN OK')"
+
+echo "== [4/4] bench smoke (xla backend, batch 8, forced CPU) =="
+# env vars alone do not defeat a pinned JAX platform plugin; apply the
+# conftest recipe (XLA_FLAGS before import + config update after)
+BENCH_2MP=0 python - <<'EOF'
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.argv = ["bench.py", "8", "2", "xla"]
+import bench
+bench.main()
+EOF
+
+echo "CI LOCAL: ALL STEPS PASSED"
