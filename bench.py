@@ -59,8 +59,12 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    # batch 1024: the tunnel charges ~24 ms of launch overhead per
+    # executable launch REGARDLESS of batch size (scripts/
+    # profile_dispatch.py), so the headline batch amortizes it; device
+    # compute per frame is flat from 256 up.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
     frames = make_frames(batch)
 
@@ -116,11 +120,15 @@ def main():
         f"min={lat_ms.min():.2f} p50={np.percentile(lat_ms,50):.2f} "
         f"p99={np.percentile(lat_ms,99):.2f}")
 
+    log(f"batch wall time: {total_wall/iters*1000:.1f} ms/batch "
+        f"({total_wall/iters/batch*1e6:.1f} us/frame incl. ~24 ms/launch "
+        f"tunnel overhead)")
+
     # --- secondary: end-to-end including fresh H2D per batch.  In this
-    # environment the TPU sits behind a network tunnel (~150 MB/s), so
+    # environment the TPU sits behind a network tunnel (~20-150 MB/s), so
     # this measures the tunnel, not the chip; recorded for transparency.
     lat2 = []
-    for _ in range(min(iters, 10)):
+    for _ in range(max(2, min(iters, 2048 // batch))):
         t1 = time.perf_counter()
         x2 = jax.device_put(frames, dev)
         a, _ = run(x2)
@@ -130,21 +138,33 @@ def main():
     e2e_fps = batch / (np.percentile(lat2_ms, 50) / 1000.0)
     log(f"with per-batch H2D through the tunnel: {e2e_fps:.1f} frames/sec "
         f"(p50 {np.percentile(lat2_ms,50):.1f} ms/batch)")
-    per_frame_p99_ms = float(np.percentile(lat_ms, 99)) / batch
-    log(f"per-frame p99 latency (device): {per_frame_p99_ms:.3f} ms")
 
     # --- the remaining BASELINE.json configs (stderr detail) -------------
-    # config #1: single-image contamination detect (test_contamination)
+    # config #1: single-image contamination detect (test_contamination),
+    # latency-shaped: persistent compiled batch-1 program, pre-put input
+    # buffer, one launch, minimal D2H (the [1, K] accepted row).  The
+    # tunnel charges ~24 ms launch + ~6 ms fetch per round trip
+    # (scripts/profile_dispatch.py), so the same protocol is also timed
+    # on a no-op program and the difference — the detection program's own
+    # cost — is reported against the reference's <10 ms deadline.
     one = jax.device_put(frames[:1], dev)
-    run(one)  # compile the batch-1 shape
-    lat1 = []
+    noop = jax.jit(lambda x: x[:, 0, 0, 0] > 0)
+    run(one)
+    np.asarray(noop(one)[0])
+    lat1, lat0 = [], []
     for _ in range(10):
         t1 = time.perf_counter()
         a, _ = run(one)
         np.asarray(a[0, 0])
         lat1.append(time.perf_counter() - t1)
-    log(f"config#1 single-image detect: "
-        f"p50 {np.percentile(np.asarray(lat1)*1000, 50):.2f} ms")
+        t1 = time.perf_counter()
+        np.asarray(noop(one)[0])
+        lat0.append(time.perf_counter() - t1)
+    p50_1 = np.percentile(np.asarray(lat1) * 1000, 50)
+    p50_0 = np.percentile(np.asarray(lat0) * 1000, 50)
+    log(f"config#1 single-image detect: p50 {p50_1:.2f} ms end-to-end "
+        f"(tunnel floor {p50_0:.2f} ms; detection program "
+        f"{max(p50_1 - p50_0, 0):.2f} ms vs the 10 ms deadline)")
 
     # config #2: preprocessing only (gray + blur + adaptive threshold)
     import jax.numpy as jnp
@@ -168,25 +188,56 @@ def main():
     log(f"config#2 preprocessing only: p50 {pre_ms:.2f} ms/batch "
         f"({batch/(pre_ms/1000):.0f} fps)")
 
-    # config #4: file-source acquisition stream at 25 fps feeding inspect
+    # config #4: file-source acquisition stream at 25 fps feeding inspect,
+    # pipelined through runtime/feeder.py's DeviceFeeder so sim-draw and
+    # H2D of frame N+1 overlap detect + verdict readback of frame N
+    # (depth 2).  Deadline: read -> verdict within the 40 ms frame budget.
     from heimdall_tpu.core.acquisition import SimulationImageSource
+    from heimdall_tpu.runtime.feeder import DeviceFeeder
     src = SimulationImageSource("bench", {"width": 640, "height": 480,
                                           "seed": 1,
                                           "defect_probability": 1.0})
     src.open()
     deadline_hits = 0
     n_stream = 50
-    small = jax.device_put(frames[:1], dev)  # reuse compiled batch-1
+    period = 1 / 25
+
+    def step(frame_np):
+        x1 = jax.device_put(frame_np[None], dev)
+        a, _ = run(x1)
+        # return the whole [1, K] array: slicing (a[0]) would trace and
+        # launch a separate device program — another ~24 ms tunnel
+        # round-trip per frame
+        return a
+
+    feeder = DeviceFeeder(step, max_in_flight=2)
+    stream_lat = []
+
+    def account(done):
+        nonlocal deadline_hits
+        if done is None:
+            return
+        _, t_read = done
+        stream_lat.append(time.perf_counter() - t_read)
+
+    t_next = time.perf_counter()
     for _ in range(n_stream):
+        # pace the source at 25 fps like the reference's file stream
+        now = time.perf_counter()
+        if now < t_next:
+            time.sleep(t_next - now)
+        t_next = max(t_next + period, time.perf_counter())
         t1 = time.perf_counter()
         _, frame = src.read()
-        x1 = jax.device_put(frame[None], dev)
-        a, _ = run(x1)
-        np.asarray(a[0, 0])
-        if time.perf_counter() - t1 <= 1 / 25:
-            deadline_hits += 1
+        account(feeder.submit(frame, meta=t1))
+    for done in feeder.drain():
+        account(done)
+    stream_ms = np.asarray(stream_lat) * 1000
+    deadline_hits = int((stream_ms <= 40.0).sum())
     log(f"config#4 25fps stream: {deadline_hits}/{n_stream} frames met "
-        f"the 40 ms budget (sim-draw + H2D + detect + verdict)")
+        f"the 40 ms budget (pipelined read+H2D+detect+verdict; "
+        f"p50 {np.percentile(stream_ms, 50):.1f} ms, "
+        f"max {stream_ms.max():.1f} ms)")
     # config #5 (full 4-camera line sim) lives in examples/line_simulation.py
 
     # --- design-point detail: 1920x1080 (the reference's 4x Basler 2MP
@@ -194,7 +245,10 @@ def main():
     if os.environ.get("BENCH_2MP", "1") != "0":
         from heimdall_tpu.detectors.contamination_detector import (
             contamination_program)
-        b2 = 16
+        # batch 64 amortizes the ~24 ms per-launch tunnel overhead that
+        # made earlier 2MP numbers irreproducible (VERDICT r1 #5): at
+        # b2=16 the floor alone adds 1.5 ms/frame.
+        b2 = 64
         big = make_frames(b2, 1080, 1920, seed=2)
         xbig = jax.device_put(big, dev)
         args2 = (xbig, jnp.int32(15), jnp.float32(3.0), jnp.float32(3000.0),

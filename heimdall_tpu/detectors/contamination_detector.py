@@ -226,20 +226,19 @@ class ContaminationDetector(DefectDetector):
                 sweeps=(self.ccl_sweeps if self.ccl_sweeps > 0
                         else (2 if self.ccl_adaptive else 6)),
                 adaptive=self.ccl_adaptive)
-        # Large WORKLOADS route to the band-tiled Pallas CCL on accelerator
-        # platforms for BOTH backends: it is ~2x faster than the whole-frame
-        # XLA scans there, and the XLA scan path miscompiles on TPU once the
-        # label image gets big — observed at [16,1080,1920] AND at
-        # [32,480,640] (one blob's area off by a few px: foreground pixels
-        # lost; CPU XLA, cv2, and both Pallas paths all agree — see
-        # ROADMAP).  Smallest known-bad total is ~9.8M label elements;
-        # guard at 4M for margin.  Per-frame 0.4 MP stays as a second
-        # trigger (beyond it the whole-frame fused kernels blow VMEM).
+        # On accelerator platforms this route ALWAYS uses the band-tiled
+        # Pallas CCL, never the whole-frame XLA scans: the XLA scan
+        # program MISCOMPILES on TPU once the label image gets big —
+        # observed at [16,1080,1920] AND [32,480,640] (foreground pixels
+        # lost; CPU XLA, cv2, and both Pallas paths all agree; reduction
+        # ladder: scripts/repro_xla_ccl_miscompile.py).  Rather than
+        # fencing the hazard with a size guard (round 1), no accelerator
+        # code path reaches the miscompiling program shape at all — the
+        # tiled path is also ~2x faster there, so this strictly
+        # dominates.  CPU keeps the whole-frame XLA scans (correct, and
+        # much faster than interpret-mode Pallas).
         on_accel = jax.default_backend() != "cpu"
-        batch = images.shape[0] if images.ndim >= 3 else 1
-        tiled_band = (256 if on_accel and (frame_px > 400_000
-                                           or batch * frame_px > 4_000_000)
-                      else 0)
+        tiled_band = 256 if on_accel else 0
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),

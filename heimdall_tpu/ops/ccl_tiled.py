@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from heimdall_tpu.ops.pallas_kernels import (_seg_min_scan, _seg_or_scan,
+from heimdall_tpu.ops.pallas_kernels import (_run_pack, _run_min_packed,
+                                             _run_or_packed,
                                              _shift_const)
 
 
@@ -92,40 +93,49 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
         row = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 0) + r * Th
         col = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 1)
         lin = row * W + col
-        lab0 = jnp.where(fg > 0, lin, sentinel)
 
-        bg = 1 - fg
         fg_t = jnp.transpose(fg)
-        bg_t = jnp.transpose(bg)
 
-        def sweep(lab):
-            lab = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
-                                                  connectivity), sentinel)
-            lab = _seg_min_scan(lab, bg, 1, False, sentinel)
-            lab = _seg_min_scan(lab, bg, 1, True, sentinel)
-            lab = jnp.where(fg > 0, lab, sentinel)
-            # column scans as lane scans on the transpose (sublane shifts
-            # cost far more than one transpose round-trip)
-            lab_t = jnp.transpose(lab)
-            lab_t = _seg_min_scan(lab_t, bg_t, 1, False, sentinel)
-            lab_t = _seg_min_scan(lab_t, bg_t, 1, True, sentinel)
-            lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
-            return jnp.transpose(lab_t)
+        # Sweeps run on BAND-LOCAL values (global lin minus the band base)
+        # so the run-id-packed keys (see pallas_kernels._run_planes) fit
+        # int32 even at 2 MP: local sentinel Th*W (e.g. 2^18 at 128x1920)
+        # packs with run ids <= W/2+2 well under 2^30.
+        ls = Th * W
+        li = jax.lax.broadcasted_iota(jnp.int32, (Th, W), 0) * W + col
+        v0 = jnp.where(fg > 0, li, ls)
+        big = 1 << max(1, math.ceil(math.log2(ls + 2)))
+        assert (max(W, Th) // 2 + 2) * big + ls < (1 << 30), (Th, W)
+        rb_r = _run_pack(fg, big)
+        rb_t = _run_pack(fg_t, big)
+
+        def phase(v, rb, f):
+            v = jnp.where(f > 0, _neighbor_min(v, ls, connectivity), ls)
+            return jnp.where(f > 0, _run_min_packed(v, rb), ls)
+
+        def sweep2(v):
+            v = phase(v, rb_r, fg)
+            vt = jnp.transpose(v)
+            vt = phase(vt, rb_t, fg_t)
+            vt = phase(vt, rb_t, fg_t)
+            v = jnp.transpose(vt)
+            return phase(v, rb_r, fg)
 
         if to_fixpoint:
             def cond(c):
                 return c[1] > 0
 
             def bodyw(c):
-                lab = sweep(c[0])
-                nm = jnp.where(fg > 0, _neighbor_min(lab, sentinel,
-                                                     connectivity),
-                               sentinel)
-                return lab, jnp.max(jnp.where(nm < lab, 1, 0))
+                v = sweep2(c[0])
+                nm = jnp.where(fg > 0, _neighbor_min(v, ls, connectivity),
+                               ls)
+                return v, jnp.max(jnp.where(nm < v, 1, 0))
 
-            lab, _ = jax.lax.while_loop(cond, bodyw, (lab0, jnp.int32(1)))
+            v, _ = jax.lax.while_loop(cond, bodyw, (v0, jnp.int32(1)))
         else:
-            lab = jax.lax.fori_loop(0, sweeps, lambda _, l: sweep(l), lab0)
+            n2 = -(-sweeps // 2)      # sweep2 covers two classic sweeps
+            v = jax.lax.fori_loop(0, n2, lambda _, x: sweep2(x), v0)
+        base = r * Th * W
+        lab = jnp.where(v < ls, v + base, sentinel)
         lab_ref[0] = lab
 
         if emit_edges:
@@ -764,32 +774,35 @@ def _make_flood_kernel(Th, W, n_bands):
                        | jnp.where(row_i == Th - 1,
                                    jnp.tile(bot, (Th, 1)), 0)) & bg
 
-        fg_t = jnp.transpose(fg)
         bg_t = jnp.transpose(bg)
+        rb_r = _run_pack(bg, 2)
+        rb_t = _run_pack(bg_t, 2)
 
-        def grow4(e):
+        def grow4(e, b):
             g = e
             for s, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
                 g = g | _shift_const(e, s, axis, 0)
-            return g & bg
+            return g & b
 
-        def sweep(e):
-            e = grow4(e)
-            e = _seg_or_scan(e, fg, 1, False) & bg
-            e = _seg_or_scan(e, fg, 1, True) & bg
-            e_t = jnp.transpose(e)
-            e_t = _seg_or_scan(e_t, fg_t, 1, False) & bg_t
-            e_t = _seg_or_scan(e_t, fg_t, 1, True) & bg_t
-            return jnp.transpose(e_t)
+        def phase(e, rb, b):
+            return _run_or_packed(grow4(e, b), rb) & b
+
+        def sweep2(e):
+            e = phase(e, rb_r, bg)
+            et = jnp.transpose(e)
+            et = phase(et, rb_t, bg_t)
+            et = phase(et, rb_t, bg_t)
+            e = jnp.transpose(et)
+            return phase(e, rb_r, bg)
 
         def cond(c):
             return c[1] > 0
 
         def body(c):
-            e = sweep(c[0])
-            return e, jnp.max(grow4(e) & (1 - e))
+            e = sweep2(c[0])
+            return e, jnp.max(grow4(e, bg) & (1 - e))
 
-        pending = jnp.max(grow4(seed) & (1 - seed))
+        pending = jnp.max(grow4(seed, bg) & (1 - seed))
         ext, _ = jax.lax.while_loop(cond, body, (seed, pending))
         out_ref[0] = ext.astype(jnp.uint8)
         edge_ref[0, 0] = jnp.concatenate(

@@ -181,6 +181,77 @@ def _cumsum_axis(x, axis):
     return x
 
 
+def _lane_cumsum_mxu(x):
+    """Inclusive prefix sum along lanes via one MXU matmul.
+
+    x: [H, W] 0/1 int32 (start flags).  Exact: bf16 inputs are 0/1,
+    products exact, f32 accumulation of <= W ones < 2^24.  Replaces a
+    10-step doubling ladder with ~200M MACs of otherwise-idle MXU time.
+    """
+    H, W = x.shape
+    i = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    tri = (i <= j).astype(jnp.bfloat16)          # cumsum[c] = sum_{k<=c}
+    out = jax.lax.dot_general(x.astype(jnp.bfloat16), tri,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
+
+
+def _run_pack(fg, big):
+    """Run-id key plane for the packed segmented scans: runid * big.
+
+    A run is a maximal contiguous stretch of fg along lanes.  Subtracting
+    (resp. adding) the plane to the scanned values makes every *earlier*
+    (resp. *later*) run's keys larger by >= big, so a PLAIN min-scan can
+    never leak values across run boundaries — no constant offset needed,
+    since shifting every key equally never changes which min wins.  Bg
+    positions inherit the previous run's id — harmless, results are
+    re-masked with fg after each phase.
+    """
+    start = fg & (1 - _shift_const(fg, 1, 1, 0))
+    return _lane_cumsum_mxu(start) * big
+
+
+def _min_scan_plain(v, axis, reverse, fill):
+    """Plain (unsegmented) running-min doubling scan along lanes."""
+    size = v.shape[axis]
+    steps = max(1, math.ceil(math.log2(size)))
+    d = 1
+    sgn = 1 if not reverse else -1
+    for _ in range(steps):
+        v = jnp.minimum(v, _shift_const(v, sgn * d, axis, fill))
+        d *= 2
+    return v
+
+
+def _run_min_packed(v, rb, fill=1 << 30):
+    """Per-run min broadcast to the whole run: fwd then bwd plain
+    min-scans over run-id-packed keys (see _run_pack).  ~2x cheaper than
+    the blocked-flag segmented scan (no flag plane to carry)."""
+    v = _min_scan_plain(v - rb, 1, False, fill) + rb
+    return _min_scan_plain(v + rb, 1, True, fill) - rb
+
+
+def _max_scan_plain(v, axis, reverse, fill):
+    size = v.shape[axis]
+    steps = max(1, math.ceil(math.log2(size)))
+    d = 1
+    sgn = 1 if not reverse else -1
+    for _ in range(steps):
+        v = jnp.maximum(v, _shift_const(v, sgn * d, axis, fill))
+        d *= 2
+    return v
+
+
+def _run_or_packed(f, rb):
+    """Per-run OR broadcast to the whole run (f in {0,1}): max-scans over
+    packed keys (earlier runs' keys must be smaller forward, larger
+    backward)."""
+    f = _max_scan_plain(f + rb, 1, False, -(1 << 30)) - rb
+    return _max_scan_plain(f - rb, 1, True, -(1 << 30)) + rb
+
+
 # ---------------------------------------------------------------------------
 # in-kernel CCL machinery (mask/labels are [H, W] int32 in VMEM)
 # ---------------------------------------------------------------------------
@@ -195,37 +266,50 @@ def _neighbor_min8(lab, sentinel):
 
 
 def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False):
-    bg = 1 - fg
-    fg_t = jnp.transpose(fg)
-    bg_t = jnp.transpose(bg)
+    """Label propagation via run-id-packed PLAIN min-scans.
 
-    def sweep(lab):
-        lab = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
-        lab = _seg_min_scan(lab, bg, 1, False, sentinel)
-        lab = _seg_min_scan(lab, bg, 1, True, sentinel)
-        lab = jnp.where(fg > 0, lab, sentinel)
-        # column scans as lane scans on the transpose (sublane shifts are
-        # far costlier than one transpose round-trip)
-        lab_t = jnp.transpose(lab)
-        lab_t = _seg_min_scan(lab_t, bg_t, 1, False, sentinel)
-        lab_t = _seg_min_scan(lab_t, bg_t, 1, True, sentinel)
-        lab_t = jnp.where(fg_t > 0, lab_t, sentinel)
-        return jnp.transpose(lab_t)
+    Each phase broadcasts the per-run min along one orientation; run-id
+    packing (see _run_planes) replaces the blocked-flag segmented scan
+    (~2x fewer vector ops per step).  One "sweep2" does row, col, col,
+    row phases with a single transpose round-trip — half the relayouts
+    of two row+col sweeps — and a neighbor-min before every phase for
+    diagonal (8-conn) propagation.  Converges to the identical fixpoint
+    (min linear index per component) as the segmented formulation.
+    """
+    H, W = lab.shape
+    big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
+    # key bound: c_max * big + sentinel must stay clear of the 2^30 fill
+    assert (max(W, H) // 2 + 2) * big + sentinel < (1 << 30), (H, W)
+    rb_r = _run_pack(fg, big)
+    fg_t = jnp.transpose(fg)
+    rb_t = _run_pack(fg_t, big)
+
+    def phase(l, rb, f):
+        l = jnp.where(f > 0, _neighbor_min8(l, sentinel), sentinel)
+        return jnp.where(f > 0, _run_min_packed(l, rb), sentinel)
+
+    def sweep2(l):
+        l = phase(l, rb_r, fg)
+        lt = jnp.transpose(l)
+        lt = phase(lt, rb_t, fg_t)
+        lt = phase(lt, rb_t, fg_t)
+        l = jnp.transpose(lt)
+        return phase(l, rb_r, fg)
 
     if not adaptive:
-        return jax.lax.fori_loop(0, sweeps, lambda _, l: sweep(l), lab)
+        n2 = -(-sweeps // 2)          # sweep2 covers two classic sweeps
+        return jax.lax.fori_loop(0, n2, lambda _, l: sweep2(l), lab)
 
     # Adaptive: sweep until a neighbor-min fixpoint.  At such a fixpoint
     # every adjacent fg pair satisfies lab[a] <= lab[b] AND lab[b] <= lab[a]
     # (min-with-self never increases) — i.e. labels are constant per
     # component, so the check certifies FULL convergence for ~4 shifts,
-    # a rounding error next to a sweep's ~40.  Exact for any geometry;
-    # typical scenes stop after 2-3 sweeps versus the fixed 6.
+    # a rounding error next to a sweep's ~40.  Exact for any geometry.
     def cond(carry):
         return carry[1] > 0
 
     def body(carry):
-        lab = sweep(carry[0])
+        lab = sweep2(carry[0])
         nm = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
         changed = jnp.max(jnp.where(nm < lab, 1, 0))
         return lab, changed
@@ -234,30 +318,39 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False):
 
 
 def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
-    """Returns filled foreground (int32 0/1)."""
+    """Returns filled foreground (int32 0/1).
+
+    Exterior flood over background runs, with the same run-id-packed
+    plain-scan machinery as _ccl_sweeps (OR == max over {0,1}) and the
+    transpose-halved sweep2 structure.
+    """
+    H, W = fg.shape
     bg = 1 - fg
-
     bg_t = jnp.transpose(bg)
-    fg_t = jnp.transpose(fg)
+    rb_r = _run_pack(bg, 2)
+    rb_t = _run_pack(bg_t, 2)
 
-    def grow4(ext):
+    def grow4(ext, b):
         grown = ext
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             grown = grown | _shift_const(_shift_const(ext, dy, 0, 0),
                                          dx, 1, 0)
-        return grown & bg
+        return grown & b
 
-    def sweep(ext):
-        ext = grow4(ext)
-        ext = _seg_or_scan(ext, fg, 1, False) & bg
-        ext = _seg_or_scan(ext, fg, 1, True) & bg
-        ext_t = jnp.transpose(ext)
-        ext_t = _seg_or_scan(ext_t, fg_t, 1, False) & bg_t
-        ext_t = _seg_or_scan(ext_t, fg_t, 1, True) & bg_t
-        return jnp.transpose(ext_t)
+    def phase(e, rb, b):
+        return _run_or_packed(grow4(e, b), rb) & b
+
+    def sweep2(e):
+        e = phase(e, rb_r, bg)
+        et = jnp.transpose(e)
+        et = phase(et, rb_t, bg_t)
+        et = phase(et, rb_t, bg_t)
+        e = jnp.transpose(et)
+        return phase(e, rb_r, bg)
 
     if not adaptive:
-        ext = jax.lax.fori_loop(0, sweeps, lambda _, e: sweep(e),
+        n2 = -(-sweeps // 2)
+        ext = jax.lax.fori_loop(0, n2, lambda _, e: sweep2(e),
                                 bg * border)
         return 1 - ext
 
@@ -268,8 +361,8 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
         return carry[1] > 0
 
     def body(carry):
-        ext = sweep(carry[0])
-        changed = jnp.max(grow4(ext) & (1 - ext))
+        ext = sweep2(carry[0])
+        changed = jnp.max(grow4(ext, bg) & (1 - ext))
         return ext, changed
 
     ext = jax.lax.while_loop(cond, body, (bg * border, jnp.int32(1)))[0]
@@ -332,8 +425,18 @@ def _make_stats_kernel(H, W, K):
 
     Slot k's pixel membership: recover the k-th root's label (the raster
     rank of roots gives compact ids without any propagation) with two
-    reductions, then compare the label image against that scalar."""
+    reductions, then compare the label image against that scalar.
+
+    Reductions per slot are minimized: int32 sums (also exact past f32's
+    2^24), y0 comes free from the root's row, x0/x1/y1 come from TWO
+    packed planes (lexicographic min/max carry the leading coordinate),
+    and the bbox-window sums exploit that in_box is a row-mask x col-mask
+    rank-1 product: mask columns, lane-reduce once per channel, then
+    row-gate the [H, 1] partials — ~half the full-plane passes of the
+    direct formulation."""
     sentinel = H * W
+    ph = 1 << math.ceil(math.log2(max(H, 2)))      # pow2 > any row index
+    pw = 1 << math.ceil(math.log2(max(W, 2)))
 
     def kernel(ct_ref, frame_ref, lab_ref, sums_ref, bbox_ref, bgsum_ref,
                meta_ref):
@@ -352,14 +455,11 @@ def _make_stats_kernel(H, W, K):
 
         nb4 = (_shift(fg, 1, 0) + _shift(fg, -1, 0)
                + _shift(fg, 1, 1) + _shift(fg, -1, 1))
-        boundaryf = ((fg > 0) & (nb4 < 4)).astype(jnp.float32)
+        boundary = ((fg > 0) & (nb4 < 4)).astype(jnp.int32)
 
-        grayf = gray.astype(jnp.float32)
-        bf = b.astype(jnp.float32)
-        gf = g.astype(jnp.float32)
-        rf = r.astype(jnp.float32)
-        col_f = col_idx.astype(jnp.float32)
-        row_f = row_idx.astype(jnp.float32)
+        xpack = col_idx * ph + row_idx       # lex (col, row): min/max -> x0/x1
+        ypack = row_idx * pw + col_idx       # lex (row, col): max -> y1
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (N_SUMS, K), 1)
         lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, K), 1)
 
@@ -370,46 +470,48 @@ def _make_stats_kernel(H, W, K):
             root_label = jnp.min(jnp.where(root_lin > prev, root_lin,
                                            sentinel))
             m = (lab == root_label) & (root_label < sentinel)
-            mf = m.astype(jnp.float32)
+            mi = m.astype(jnp.int32)
             stat_col = jnp.concatenate([
-                jnp.sum(mf).reshape(1, 1),
-                jnp.sum(mf * boundaryf).reshape(1, 1),
-                jnp.sum(mf * col_f).reshape(1, 1),
-                jnp.sum(mf * row_f).reshape(1, 1),
-                jnp.sum(mf * grayf).reshape(1, 1),
-                jnp.sum(mf * bf).reshape(1, 1),
-                jnp.sum(mf * gf).reshape(1, 1),
-                jnp.sum(mf * rf).reshape(1, 1),
+                jnp.sum(mi).reshape(1, 1),
+                jnp.sum(mi * boundary).reshape(1, 1),
+                jnp.sum(mi * col_idx).reshape(1, 1),
+                jnp.sum(mi * row_idx).reshape(1, 1),
+                jnp.sum(mi * gray).reshape(1, 1),
+                jnp.sum(mi * b).reshape(1, 1),
+                jnp.sum(mi * g).reshape(1, 1),
+                jnp.sum(mi * r).reshape(1, 1),
             ], axis=0)                                       # [8, 1]
-            sums = sums + jnp.where(lane8 == k, stat_col,
-                                    jnp.float32(0.0))
+            sums = sums + jnp.where(lane8 == k, stat_col, 0)
 
-            x0 = jnp.min(jnp.where(m, col_idx, W))
-            x1 = jnp.max(jnp.where(m, col_idx, -1))
-            y0 = jnp.min(jnp.where(m, row_idx, H))
-            y1 = jnp.max(jnp.where(m, row_idx, -1))
+            xp_min = jnp.min(jnp.where(m, xpack, jnp.int32(1 << 30)))
+            xp_max = jnp.max(jnp.where(m, xpack, -1))
+            yp_max = jnp.max(jnp.where(m, ypack, -1))
+            x0 = xp_min // ph
+            x1 = xp_max // ph
+            y0 = root_label // W             # root = first raster pixel
+            y1 = yp_max // pw
             bbox_col = jnp.concatenate(
                 [x0.reshape(1, 1), y0.reshape(1, 1),
                  x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)
             bboxes = jnp.where(lane4 == k, bbox_col, bboxes)
 
-            in_box = ((row_idx >= y0) & (row_idx <= y1)
-                      & (col_idx >= x0) & (col_idx <= x1)
-                      ).astype(jnp.float32)
+            cmask = ((col_idx >= x0) & (col_idx <= x1)).astype(jnp.int32)
+            rgate = (row1 >= y0) & (row1 <= y1)
+
+            def boxsum(f):
+                part = jnp.sum(f * cmask, axis=1, keepdims=True)  # [H, 1]
+                return jnp.sum(jnp.where(rgate, part, 0)).reshape(1, 1)
+
             bg_col = jnp.concatenate(
-                [jnp.sum(in_box * grayf).reshape(1, 1),
-                 jnp.sum(in_box * bf).reshape(1, 1),
-                 jnp.sum(in_box * gf).reshape(1, 1),
-                 jnp.sum(in_box * rf).reshape(1, 1)], axis=0)
-            bgsums = bgsums + jnp.where(lane4 == k, bg_col,
-                                        jnp.float32(0.0))
+                [boxsum(gray), boxsum(b), boxsum(g), boxsum(r)], axis=0)
+            bgsums = bgsums + jnp.where(lane4 == k, bg_col, 0)
             return sums, bboxes, bgsums, root_label
 
         sums, bboxes, bgsums, _ = jax.lax.fori_loop(
             0, jnp.minimum(n_blobs, K), slot_body,
-            (jnp.zeros((N_SUMS, K), jnp.float32),
+            (jnp.zeros((N_SUMS, K), jnp.int32),
              jnp.zeros((4, K), jnp.int32),
-             jnp.zeros((4, K), jnp.float32),
+             jnp.zeros((4, K), jnp.int32),
              jnp.int32(-1)))
         sums_ref[0] = sums
         bbox_ref[0] = bboxes
@@ -429,9 +531,9 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
     Kernel A labels (VMEM-resident preprocess + fill + CCL, one uint8
     bid plane to HBM per frame); kernel B reduces per-blob statistics.
     Returns raw per-frame outputs:
-      sums   f32 [B, 8, K]  (ones, boundary, x, y, gray, b, g, r)
-      bbox   i32 [B, 4, K]  (x0, y0, x1, y1 — inclusive; invalid slots W/H/-1)
-      bgsum  f32 [B, 4, K]  (bbox-sums of gray, b, g, r)
+      sums   i32 [B, 8, K]  (ones, boundary, x, y, gray, b, g, r)
+      bbox   i32 [B, 4, K]  (x0, y0, x1, y1 — inclusive; invalid slots 0)
+      bgsum  i32 [B, 4, K]  (bbox-sums of gray, b, g, r)
       n      i32 [B]        true blob count
     """
     B, H, W, _ = frames.shape
@@ -488,9 +590,9 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N_SUMS, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, N_SUMS, K), jnp.int32),
             jax.ShapeDtypeStruct((B, 4, K), jnp.int32),
-            jax.ShapeDtypeStruct((B, 4, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, 4, K), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
         interpret=interpret,
@@ -512,14 +614,14 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
         frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
         interpret=interpret, adaptive=adaptive)
 
-    area_px_f = sums[:, S_ONES]
-    area_px = area_px_f.astype(jnp.int32)
+    area_px = sums[:, S_ONES]
     valid = area_px > 0
     safe_px = jnp.maximum(area_px, 1)
-    area = area_px_f - 0.5 * sums[:, S_BND] - 1.0
+    area = (area_px.astype(jnp.float32)
+            - 0.5 * sums[:, S_BND].astype(jnp.float32) - 1.0)
 
-    cx = sums[:, S_X].astype(jnp.int32) // safe_px
-    cy = sums[:, S_Y].astype(jnp.int32) // safe_px
+    cx = sums[:, S_X] // safe_px
+    cy = sums[:, S_Y] // safe_px
 
     x0 = jnp.where(valid, bbox[:, 0], 0)
     y0 = jnp.where(valid, bbox[:, 1], 0)
@@ -529,7 +631,7 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
     bg_px = w * h - area_px
     fg_mean = jnp.where(valid, sums[:, S_GRAY] / safe_px, 127.0)
     bg_mean = jnp.where(bg_px > 0,
-                        (bgsum[:, 0] - sums[:, S_GRAY])
+                        (bgsum[:, 0] - sums[:, S_GRAY]).astype(jnp.float32)
                         / jnp.maximum(bg_px, 1), 127.0)
     intensity_diff = jnp.abs(bg_mean - fg_mean)
     intensity_score = jnp.minimum(1.0, intensity_diff / 30.0)

@@ -211,19 +211,24 @@ class DeviceFeeder:
         self.max_in_flight = max_in_flight
         self._in_flight = []
 
-    def submit(self, batch: np.ndarray):
-        """Submit a batch; returns the completed result of an older batch
-        once the pipeline is full (None while filling)."""
+    def submit(self, batch: np.ndarray, meta: Any = None):
+        """Submit a batch; returns the completed (result, meta) of an older
+        batch once the pipeline is full (None while filling).  ``meta``
+        rides along untouched — callers use it for frame ids / deadline
+        timestamps."""
         import jax
         out = self.step_fn(batch)
-        self._in_flight.append(out)
+        self._in_flight.append((out, meta))
         if len(self._in_flight) > self.max_in_flight:
-            ready = self._in_flight.pop(0)
-            return jax.device_get(ready)
+            ready, rmeta = self._in_flight.pop(0)
+            got = jax.device_get(ready)
+            return (got, rmeta) if rmeta is not None else got
         return None
 
     def drain(self):
         import jax
-        results = [jax.device_get(r) for r in self._in_flight]
+        results = [(jax.device_get(r), m) if m is not None
+                   else jax.device_get(r)
+                   for r, m in self._in_flight]
         self._in_flight.clear()
         return results
