@@ -15,8 +15,8 @@ Building blocks chosen for Mosaic's TPU lowering (no rev/pad/cumsum/
 associative_scan primitives):
   * border-aware shifts: jnp.concatenate of slices (replicate / reflect-101
     / constant fills built from broadcast or stacked single rows),
-  * segmented min/or scans: Hillis-Steele doubling over shifted copies,
-  * 2-D prefix sums (compact ids, integral images): log-step doubling,
+  * per-run min/or broadcasts: PLAIN Hillis-Steele doubling scans over
+    run-id-packed keys (one MXU matmul builds the run ids per row),
   * per-blob statistics: a fori_loop over table slots doing 2-D masked
     reductions (Mosaic's 3-D layouts proved too fragile for one-hot
     matmuls), accumulating into [.,K] carries via one-hot lane masks,
@@ -117,68 +117,8 @@ def _minmax3(x, is_min):
 
 
 # ---------------------------------------------------------------------------
-# segmented scans via Hillis-Steele doubling
+# run-id-packed scans (per-run min / or via plain doubling scans)
 # ---------------------------------------------------------------------------
-
-def _reset_distance(is_reset, axis, reverse):
-    """Per-position distance (inclusive) to the nearest reset at-or-before
-    it along the scan direction; used to evaluate the segmented-scan
-    "blocked" predicate as one compare per step instead of carrying and
-    shifting a flag plane.  dist[i] = i - last_reset_index[i] (or a large
-    number when no reset yet)."""
-    n = is_reset.shape[axis]
-    idx = jax.lax.broadcasted_iota(jnp.int32, is_reset.shape, axis)
-    if reverse:
-        idx = (n - 1) - idx
-    last = jnp.where(is_reset > 0, idx, -n)
-    d = 1
-    for _ in range(max(1, math.ceil(math.log2(n)))):
-        sgn = 1 if not reverse else -1
-        last = jnp.maximum(last, _shift_const(last, sgn * d, axis, -n))
-        d *= 2
-    return idx - last
-
-
-def _seg_min_scan(v, blocked0, axis, reverse, sentinel):
-    """Segmented running-min along ``axis`` (blocked positions reset)."""
-    size = v.shape[axis]
-    steps = max(1, math.ceil(math.log2(size)))
-    d = 1
-    sgn = 1 if not reverse else -1
-    blocked = blocked0
-    for _ in range(steps):
-        vs = _shift_const(v, sgn * d, axis, sentinel)
-        bs = _shift_const(blocked, sgn * d, axis, 1)
-        v = jnp.where(blocked > 0, v, jnp.minimum(v, vs))
-        blocked = blocked | bs
-        d *= 2
-    return v
-
-
-def _seg_or_scan(f, blocked0, axis, reverse):
-    size = f.shape[axis]
-    steps = max(1, math.ceil(math.log2(size)))
-    d = 1
-    sgn = 1 if not reverse else -1
-    blocked = blocked0
-    for _ in range(steps):
-        fs = _shift_const(f, sgn * d, axis, 0)
-        bs = _shift_const(blocked, sgn * d, axis, 1)
-        f = jnp.where(blocked > 0, f, f | fs)
-        blocked = blocked | bs
-        d *= 2
-    return f
-
-
-def _cumsum_axis(x, axis):
-    """Inclusive prefix sum via doubling (int32)."""
-    size = x.shape[axis]
-    steps = max(1, math.ceil(math.log2(size)))
-    d = 1
-    for _ in range(steps):
-        x = x + _shift_const(x, d, axis, 0)
-        d *= 2
-    return x
 
 
 def _lane_cumsum_mxu(x):
