@@ -787,19 +787,20 @@ def _make_flood_kernel(Th, W, n_bands):
         def phase(e, rb, b):
             return _run_or_packed(grow4(e, b), rb) & b
 
-        def sweep2(e):
+        # finer adaptive granularity than the CCL's double sweep: the
+        # flood usually completes in 2-3 phases (see pallas_kernels
+        # _fill_holes_sweeps)
+        def sweep1(e):
             e = phase(e, rb_r, bg)
             et = jnp.transpose(e)
             et = phase(et, rb_t, bg_t)
-            et = phase(et, rb_t, bg_t)
-            e = jnp.transpose(et)
-            return phase(e, rb_r, bg)
+            return jnp.transpose(et)
 
         def cond(c):
             return c[1] > 0
 
         def body(c):
-            e = sweep2(c[0])
+            e = sweep1(c[0])
             return e, jnp.max(grow4(e, bg) & (1 - e))
 
         pending = jnp.max(grow4(seed, bg) & (1 - seed))
