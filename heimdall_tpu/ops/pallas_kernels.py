@@ -370,12 +370,8 @@ def _make_stats_kernel(H, W, K):
     reductions, then compare the label image against that scalar.
 
     Reductions per slot are minimized: int32 sums (also exact past f32's
-    2^24), y0 comes free from the root's row, x0/x1/y1 come from TWO
-    packed planes (lexicographic min/max carry the leading coordinate),
-    and the bbox-window sums exploit that in_box is a row-mask x col-mask
-    rank-1 product: mask columns, lane-reduce once per channel, then
-    row-gate the [H, 1] partials — ~half the full-plane passes of the
-    direct formulation."""
+    2^24), y0 comes free from the root's row, and x0/x1/y1 come from TWO
+    packed planes (lexicographic min/max carry the leading coordinate)."""
     sentinel = H * W
     ph = 1 << math.ceil(math.log2(max(H, 2)))      # pow2 > any row index
     pw = 1 << math.ceil(math.log2(max(W, 2)))
@@ -401,7 +397,6 @@ def _make_stats_kernel(H, W, K):
 
         xpack = col_idx * ph + row_idx       # lex (col, row): min/max -> x0/x1
         ypack = row_idx * pw + col_idx       # lex (row, col): max -> y1
-        row1 = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (N_SUMS, K), 1)
         lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, K), 1)
 
@@ -437,15 +432,16 @@ def _make_stats_kernel(H, W, K):
                  x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)
             bboxes = jnp.where(lane4 == k, bbox_col, bboxes)
 
-            cmask = ((col_idx >= x0) & (col_idx <= x1)).astype(jnp.int32)
-            rgate = (row1 >= y0) & (row1 <= y1)
-
-            def boxsum(f):
-                part = jnp.sum(f * cmask, axis=1, keepdims=True)  # [H, 1]
-                return jnp.sum(jnp.where(rgate, part, 0)).reshape(1, 1)
-
+            # full-plane masked sums for the bbox window (a [H, 1]
+            # rank-1 row/col split measured 3x SLOWER on v5e — partial
+            # lane reductions inside the slot loop lower poorly)
+            in_box = ((row_idx >= y0) & (row_idx <= y1)
+                      & (col_idx >= x0) & (col_idx <= x1)).astype(jnp.int32)
             bg_col = jnp.concatenate(
-                [boxsum(gray), boxsum(b), boxsum(g), boxsum(r)], axis=0)
+                [jnp.sum(in_box * gray).reshape(1, 1),
+                 jnp.sum(in_box * b).reshape(1, 1),
+                 jnp.sum(in_box * g).reshape(1, 1),
+                 jnp.sum(in_box * r).reshape(1, 1)], axis=0)
             bgsums = bgsums + jnp.where(lane4 == k, bg_col, 0)
             return sums, bboxes, bgsums, root_label
 

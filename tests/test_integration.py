@@ -137,7 +137,9 @@ class TestExamples:
     def test_example_runs(self, script):
         proc = subprocess.run(
             [sys.executable, script], capture_output=True, text=True,
-            timeout=300, env={"PYTHONPATH": ".", "JAX_PLATFORMS": "cpu",
+            # generous: examples take ~25 s unloaded, but the suite may
+            # share the machine with TPU benches / other runs
+            timeout=900, env={"PYTHONPATH": ".", "JAX_PLATFORMS": "cpu",
                               "PATH": "/usr/bin:/bin:/usr/local/bin",
                               "HOME": "/root"})
         assert proc.returncode == 0, proc.stderr[-2000:]
