@@ -41,32 +41,61 @@ def main(duration_s: float = 10.0, sets_per_batch: int = 8,
     rejector = RejectionController(delay_ms=100, pulse_duration_ms=50)
     latency_ms = SlidingWindow(1000)
 
-    # compile with the production batch shape
+    # compile with the production batch shape.  The line path is
+    # verdict-shaped: per-frame reject flags reduced on device, so the
+    # host fetches two [N] vectors per batch — never blob tables or label
+    # images (the reference's rejection hook, system.py:152-160, needs
+    # only the per-bottle decision).
     warm = np.zeros((4 * sets_per_batch, height, width), np.uint8)
-    detector.detect_batch(warm)
+    np.asarray(detector.verdict_device(warm)[0])
 
     bottles = 0
     rejects = 0
+
+    # Serial fenced loop with a PREALLOCATED batch buffer.  Two measured
+    # pathologies in this environment drove the shape of this loop (see
+    # ROADMAP.md "line sim"): (1) fresh np.concatenate of ~10 MB per batch
+    # stalls 1+ s once JAX transfer machinery is active (allocator
+    # pathology) — frames are written straight into one reused buffer
+    # instead; (2) letting H2D run in the background (DeviceFeeder push
+    # mode) starves every Python thread, so acquisition slows 50x — the
+    # verdict fetch right after submit fences the transfer and keeps the
+    # host and the tunnel strictly alternating.  On a PCIe-attached TPU
+    # host (H2D ~10 GB/s, launch ~100 us) the feeder's pipelined push
+    # mode is the right loop; through the tunnel, serial wins.
+    buf = warm
+    t_acq = t_dev = 0.0
+    mb_pushed = 0.0
     t_start = time.time()
     while time.time() - t_start < duration_s:
         t0 = time.time()
-        framesets = [system.acquire_frames() for _ in range(sets_per_batch)]
-        batch = np.concatenate([fs.to_batch() for fs in framesets])
-        results = detector.detect_batch(batch)
-        t_batch = time.time() - t0
-
-        # one bottle per frameset; reject when any of its 4 views flags
-        for s, fs in enumerate(framesets):
-            views = results[4 * s: 4 * (s + 1)]
+        for s in range(sets_per_batch):
+            fs = system.acquire_frames()
+            for c, (_cid, fr) in enumerate(sorted(fs.frames.items())):
+                buf[4 * s + c] = fr.data
+        t1 = time.time()
+        flags, confs = detector.verdict_device(buf)
+        flags = np.asarray(flags)
+        t2 = time.time()
+        t_acq += t1 - t0
+        t_dev += t2 - t1
+        mb_pushed += buf.nbytes / 1e6
+        confs_np = None
+        for s in range(sets_per_batch):
             bottles += 1
-            if any(views):
-                conf = max(d.confidence for v in views for d in v)
+            if flags[4 * s: 4 * (s + 1)].any():
+                if confs_np is None:
+                    confs_np = np.asarray(confs)
+                conf = float(confs_np[4 * s: 4 * (s + 1)].max())
                 rejector.reject("line", confidence=conf)
                 rejects += 1
-        latency_ms.push(t_batch / sets_per_batch * 1000)
+        latency_ms.push((t2 - t0) / sets_per_batch * 1000)
 
     elapsed = time.time() - t_start
     system.stop()
+    print(f"stage time: acquisition+assembly {t_acq:.1f}s, "
+          f"H2D+detect+verdict {t_dev:.1f}s of {elapsed:.1f}s; "
+          f"H2D pushed {mb_pushed / elapsed:.0f} MB/s through the tunnel")
 
     bph = bottles / elapsed * 3600
     per_bottle_ms = latency_ms.avg()

@@ -11,6 +11,7 @@ interaction is a fake — SURVEY.md §4 "Fake backends").
 
 import enum
 import logging
+import threading
 import time
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
@@ -167,7 +168,10 @@ class SimulatedCamera(Camera):
                                                         "continuous"))
         self.frame_counter = 0
         self._last_frame_time = 0.0
-        self._triggered = False
+        # Event, not a polled flag: under host load (e.g. concurrent H2D
+        # streaming) a 0.5 ms poll-sleep loop can stretch to tens of ms
+        # per wakeup; Event.wait gets a direct OS wakeup on trigger.
+        self._triggered = threading.Event()
 
     def initialize(self) -> None:
         self.is_initialized = True
@@ -186,42 +190,49 @@ class SimulatedCamera(Camera):
         if self.trigger_mode == TriggerMode.CONTINUOUS:
             raise CameraError(CameraError.Kind.CONFIGURATION,
                               "trigger on continuous camera")
-        self._triggered = True
+        self._triggered.set()
 
     def _synthesize(self) -> np.ndarray:
         h, w = self.height, self.width
-        pattern = self.config.get("pattern", "checker")
-        if pattern == "bottle":
-            # calm production-like scene: gentle gradient + bright bottle
-            img = (96 + (64 * np.arange(h)[:, None]) // h
-                   ).astype(np.uint8).repeat(w, axis=1)
-            img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
-        else:
-            # high-contrast checkerboard (reference simulator.rs scene)
-            img = np.zeros((h, w), np.uint8)
-            tile = 32
-            yy = (np.arange(h) // tile)[:, None]
-            xx = (np.arange(w) // tile)[None, :]
-            img[(yy + xx) % 2 == 0] = 200
-            img[(yy + xx) % 2 == 1] = 60
-            img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
-        if self.frame_counter % 5 == 4:  # deterministic defect
+        base = getattr(self, "_scene_cache", None)
+        if base is None:
+            pattern = self.config.get("pattern", "checker")
+            if pattern == "bottle":
+                # calm production-like scene: gradient + bright bottle
+                img = (96 + (64 * np.arange(h)[:, None]) // h
+                       ).astype(np.uint8).repeat(w, axis=1)
+                img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
+            else:
+                # high-contrast checkerboard (reference simulator.rs scene)
+                img = np.zeros((h, w), np.uint8)
+                tile = 32
+                yy = (np.arange(h) // tile)[:, None]
+                xx = (np.arange(w) // tile)[None, :]
+                img[(yy + xx) % 2 == 0] = 200
+                img[(yy + xx) % 2 == 1] = 60
+                img[h // 4:3 * h // 4, w // 3:2 * w // 3] = 210
             cy, cx = h // 2, w // 2
             yy2, xx2 = np.ogrid[:h, :w]
-            img[(yy2 - cy) ** 2 + (xx2 - cx) ** 2 <= 64] = 25
+            # static scene + defect pixel indices cached once: a simulated
+            # camera must cost microseconds per frame, or IT becomes the
+            # line bottleneck instead of the path under test
+            self._scene_cache = img
+            self._defect_idx = np.nonzero(
+                (yy2 - cy) ** 2 + (xx2 - cx) ** 2 <= 64)
+            base = img
+        img = base.copy()
+        if self.frame_counter % 5 == 4:  # deterministic defect
+            img[self._defect_idx] = 25
         return img
 
     def acquire_frame(self, timeout_s: float = 1.0) -> CameraFrame:
         if not self.is_acquiring:
             raise CameraError(CameraError.Kind.ACQUISITION, "not acquiring")
         if self.trigger_mode != TriggerMode.CONTINUOUS:
-            deadline = time.time() + timeout_s
-            while not self._triggered:
-                if time.time() > deadline:
-                    raise CameraError(CameraError.Kind.TIMEOUT,
-                                      "no trigger received")
-                time.sleep(0.0005)
-            self._triggered = False
+            if not self._triggered.wait(timeout_s):
+                raise CameraError(CameraError.Kind.TIMEOUT,
+                                  "no trigger received")
+            self._triggered.clear()
         else:
             # pace to fps
             period = 1.0 / self.fps

@@ -140,6 +140,13 @@ def contamination_program(images: jnp.ndarray,
     return table, conf, accepted
 
 
+@jax.jit
+def _verdict_reduce(conf, accepted):
+    """[N,K] confidence + accepted mask -> per-frame (reject?, max conf)."""
+    return (jnp.any(accepted, axis=1),
+            jnp.max(jnp.where(accepted, conf, 0.0), axis=1))
+
+
 class ContaminationDetector(DefectDetector):
     """Drop-in API-parity contamination detector, device-batched.
 
@@ -251,6 +258,17 @@ class ContaminationDetector(DefectDetector):
             return_labels=return_labels,
             ccl_sweeps=self.ccl_sweeps,
             tiled_band=tiled_band)
+
+    def verdict_device(self, images):
+        """Verdict-shaped device path for production lines: per-frame
+        reject flag (any accepted blob) and max accepted confidence,
+        reduced ON DEVICE so the host fetches two [N] vectors instead of
+        blob tables or label images.  The reference's per-bottle
+        accept/reject decision (system.py:152-160 rejection hook driven by
+        detector output) needs nothing more; full tables stay available
+        via run_device/detect_batch for accepted bottles."""
+        _, conf, accepted = self.run_device(images)
+        return _verdict_reduce(conf, accepted)
 
     # -- host API ----------------------------------------------------------
     def detect(self, image: np.ndarray,

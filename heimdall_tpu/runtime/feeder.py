@@ -203,21 +203,68 @@ class DeviceFeeder:
     the TPU never waits on the host (the reference's semaphore-limited
     parallel acquisition, heimdall-gige/src/lib.rs:113-134, maps to this
     queue depth).
+
+    Two completion modes:
+
+    - default (pull): ``submit`` returns the completed (result, meta) of an
+      older batch once the pipeline is over-full, None while filling.
+      Simple, but a paced producer (e.g. a 25 fps stream) only learns a
+      verdict ``max_in_flight`` frame periods after submitting it — queue
+      waiting, not device time, dominates the observed latency.
+    - ``on_done`` (push): a collector thread fetches each result as soon as
+      the device finishes it (FIFO — device execution is in submission
+      order) and calls ``on_done(result, meta)`` from that thread.  The
+      read→verdict latency a caller measures in ``on_done`` is the true
+      transfer+compute+readback critical path, while ``submit`` stays
+      non-blocking until ``max_in_flight`` results are pending (then it
+      applies backpressure).
     """
 
     def __init__(self, step_fn: Callable[[np.ndarray], Any],
-                 max_in_flight: int = 2):
+                 max_in_flight: int = 2,
+                 on_done: Optional[Callable[[Any, Any], None]] = None):
         self.step_fn = step_fn
         self.max_in_flight = max_in_flight
         self._in_flight = []
+        self._on_done = on_done
+        self._queue = None
+        self._collector = None
+        if on_done is not None:
+            import queue as _queue
+            self._queue = _queue.Queue(maxsize=max_in_flight)
+            self._collector = threading.Thread(target=self._collect_loop,
+                                               daemon=True)
+            self._collector.start()
+
+    def _collect_loop(self):
+        import jax
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._queue.task_done()
+                return
+            out, meta = item
+            try:
+                self._on_done(jax.device_get(out), meta)
+            except Exception:  # pragma: no cover - surfaced via logger
+                logger.exception("DeviceFeeder on_done failed")
+            finally:
+                self._queue.task_done()
 
     def submit(self, batch: np.ndarray, meta: Any = None):
-        """Submit a batch; returns the completed (result, meta) of an older
-        batch once the pipeline is full (None while filling).  ``meta``
+        """Submit a batch.
+
+        Pull mode: returns the completed (result, meta) of an older batch
+        once the pipeline is full (None while filling).  Push mode
+        (``on_done`` given): always returns None; blocks only when
+        ``max_in_flight`` results are already pending collection.  ``meta``
         rides along untouched — callers use it for frame ids / deadline
         timestamps."""
         import jax
         out = self.step_fn(batch)
+        if self._queue is not None:
+            self._queue.put((out, meta))
+            return None
         self._in_flight.append((out, meta))
         if len(self._in_flight) > self.max_in_flight:
             ready, rmeta = self._in_flight.pop(0)
@@ -226,9 +273,24 @@ class DeviceFeeder:
         return None
 
     def drain(self):
+        """Pull mode: fetch and return all in-flight (result, meta) pairs.
+        Push mode: block until the collector has delivered every pending
+        result via ``on_done``; returns []."""
         import jax
+        if self._queue is not None:
+            self._queue.join()
+            return []
         results = [(jax.device_get(r), m) if m is not None
                    else jax.device_get(r)
                    for r, m in self._in_flight]
         self._in_flight.clear()
         return results
+
+    def close(self):
+        """Stop the collector thread (push mode); drains first."""
+        if self._queue is not None:
+            self._queue.join()
+            self._queue.put(None)
+            self._collector.join(timeout=5)
+            self._queue = None
+            self._collector = None

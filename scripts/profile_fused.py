@@ -107,13 +107,15 @@ def main():
     def bench_fn(name, fn, *args, slice_=(0, 0, 0)):
         out = fn(*args)
         np.asarray(out[slice_] if isinstance(slice_, tuple) else out)
+        # launch all, force only the last (in-order execution): one ~30 ms
+        # fetch RTT in the whole window instead of one per iteration
         infl = []
         t0 = time.perf_counter()
         for _ in range(iters):
             infl.append(fn(*args))
-        for o in infl:
-            np.asarray(o[slice_])
+        np.asarray(infl[-1][slice_])
         dt = time.perf_counter() - t0
+        del infl
         us = dt / iters / batch * 1e6
         print(f"{name:28s} {us:9.1f} us/frame   "
               f"({batch*iters/dt:8.1f} fps)", flush=True)

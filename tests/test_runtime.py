@@ -72,6 +72,36 @@ class TestFrameRing:
         assert batch.shape == (5, 8, 8)
 
 
+class TestDeviceFeeder:
+    def test_pull_mode_pipeline(self):
+        from heimdall_tpu.runtime.feeder import DeviceFeeder
+        import jax.numpy as jnp
+        feeder = DeviceFeeder(lambda b: jnp.asarray(b).sum(), max_in_flight=2)
+        done = []
+        for i in range(5):
+            out = feeder.submit(np.full((2, 2), i, np.uint8), meta=i)
+            if out is not None:
+                done.append(out)
+        done.extend(feeder.drain())
+        assert [m for _, m in done] == [0, 1, 2, 3, 4]
+        assert [int(r) for r, _ in done] == [0, 4, 8, 12, 16]
+
+    def test_push_mode_prompt_collection(self):
+        from heimdall_tpu.runtime.feeder import DeviceFeeder
+        import jax.numpy as jnp
+        done = []
+        feeder = DeviceFeeder(lambda b: jnp.asarray(b).sum(),
+                              max_in_flight=3,
+                              on_done=lambda r, m: done.append((int(r), m)))
+        for i in range(7):
+            assert feeder.submit(np.full((2, 2), i, np.uint8), meta=i) is None
+        assert feeder.drain() == []
+        # every result delivered, in submission order, with its meta
+        assert done == [(4 * i, i) for i in range(7)]
+        feeder.close()
+        assert feeder._collector is None
+
+
 class TestNativeCameraFeeder:
     def test_produces_frames(self):
         feeder = NativeCameraFeeder(width=64, height=48, fps=200,
