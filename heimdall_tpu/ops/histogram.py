@@ -44,22 +44,53 @@ def equalize_hist(image: jnp.ndarray) -> jnp.ndarray:
     return _apply_lut(image, lut)
 
 
+def _reflect101_extend(image: jnp.ndarray, pad_bottom: int,
+                       pad_right: int) -> jnp.ndarray:
+    """Extend bottom/right with BORDER_REFLECT_101, allowing pads that
+    exceed the source size (cv2's copyMakeBorder keeps bouncing; jnp.pad
+    caps at size-1, so build constant index vectors instead)."""
+    import numpy as np
+
+    def tri(n, padded):
+        if n == 1:
+            return np.zeros(padded, np.int32)
+        period = 2 * (n - 1)
+        j = np.arange(padded, dtype=np.int32) % period
+        return np.where(j >= n, period - j, j).astype(np.int32)
+
+    H, W = image.shape[-2], image.shape[-1]
+    out = image
+    if pad_bottom:
+        out = jnp.take(out, jnp.asarray(tri(H, H + pad_bottom)), axis=-2)
+    if pad_right:
+        out = jnp.take(out, jnp.asarray(tri(W, W + pad_right)), axis=-1)
+    return out
+
+
 def clahe(image: jnp.ndarray, clip_limit: float = 2.0,
           tile_grid: int = 8) -> jnp.ndarray:
     """cv2.createCLAHE(clipLimit, (tile_grid, tile_grid)).apply parity.
 
-    The image is extended with reflect-101 padding to a multiple of the tile
-    grid (as OpenCV does), per-tile clipped histograms build per-tile LUTs,
-    and each output pixel bilinearly interpolates the 4 surrounding tile
-    LUTs with border clamping.
+    Bit-exact vs cv2 5.x (tests/test_ops_parity.py asserts equality),
+    including OpenCV's padding quirk: when EITHER dimension is not a
+    multiple of the grid, BOTH are reflect-101 extended by
+    ``G - (dim % G)`` — a full extra tile row/column on the dimension that
+    WAS divisible (clahe.cpp pads unconditionally in the else branch).
+    Per-tile clipped histograms (uniform + stepped residual redistribution)
+    build per-tile uint8 LUTs, and each output pixel bilinearly
+    interpolates the 4 surrounding tile LUTs with OpenCV's
+    ``x * (1/tileW) - 0.5`` convention.
     """
     H, W = image.shape[-2], image.shape[-1]
     G = tile_grid
-    th = -(-H // G)      # ceil tile height
-    tw = -(-W // G)
-    Hp, Wp = th * G, tw * G
-    pad = [(0, 0)] * (image.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
-    img = jnp.pad(image, pad, mode="reflect") if (Hp != H or Wp != W) else image
+    if H % G == 0 and W % G == 0:
+        img = image
+    else:
+        pb = G - (H % G)
+        pr = G - (W % G)
+        img = _reflect101_extend(image, pb, pr)
+    Hp, Wp = img.shape[-2], img.shape[-1]
+    th, tw = Hp // G, Wp // G
 
     batch = img.shape[:-2]
     tiles = img.reshape(batch + (G, th, G, tw))
@@ -84,17 +115,23 @@ def clahe(image: jnp.ndarray, clip_limit: float = 2.0,
     csum = jnp.cumsum(hist, axis=-1)
     luts = jnp.clip(jnp.rint(csum * scale), 0, 255).astype(jnp.float32)
 
-    # Bilinear interpolation of tile LUT outputs at every pixel.
-    ys = jnp.arange(Hp, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(Wp, dtype=jnp.float32) + 0.5
-    ty = ys / th - 0.5
-    tx = xs / tw - 0.5
-    y0 = jnp.clip(jnp.floor(ty), 0, G - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(tx), 0, G - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, G - 1)
-    x1 = jnp.clip(x0 + 1, 0, G - 1)
-    fy = jnp.clip(ty - y0, 0.0, 1.0)[:, None]               # [Hp, 1]
-    fx = jnp.clip(tx - x0, 0.0, 1.0)[None, :]               # [1, Wp]
+    # Bilinear interpolation of tile LUT outputs at every pixel.  OpenCV's
+    # convention (clahe.cpp interpolation body): txf = x * (1/tileW) - 0.5
+    # — a reciprocal MULTIPLY in float32, no pixel-center +0.5 — and the
+    # fraction keeps the UNCLAMPED floor (at the edges both tile indices
+    # clamp to the same tile, so the out-of-range fraction never shows).
+    ys = jnp.arange(Hp, dtype=jnp.float32)
+    xs = jnp.arange(Wp, dtype=jnp.float32)
+    ty = ys * jnp.float32(1.0 / th) - 0.5
+    tx = xs * jnp.float32(1.0 / tw) - 0.5
+    yf = jnp.floor(ty)
+    xf = jnp.floor(tx)
+    fy = (ty - yf)[:, None]                                 # [Hp, 1]
+    fx = (tx - xf)[None, :]                                 # [1, Wp]
+    y0 = jnp.clip(yf, 0, G - 1).astype(jnp.int32)
+    x0 = jnp.clip(xf, 0, G - 1).astype(jnp.int32)
+    y1 = jnp.clip(yf + 1, 0, G - 1).astype(jnp.int32)
+    x1 = jnp.clip(xf + 1, 0, G - 1).astype(jnp.int32)
 
     pix = img.astype(jnp.int32)                             # [..., Hp, Wp]
 

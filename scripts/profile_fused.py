@@ -154,9 +154,9 @@ def main():
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=(
-                jax.ShapeDtypeStruct((batch, pk.N_SUMS, K), jnp.float32),
+                jax.ShapeDtypeStruct((batch, pk.N_SUMS, K), jnp.int32),
                 jax.ShapeDtypeStruct((batch, 4, K), jnp.int32),
-                jax.ShapeDtypeStruct((batch, 4, K), jnp.float32),
+                jax.ShapeDtypeStruct((batch, 4, K), jnp.int32),
                 jax.ShapeDtypeStruct((batch, 1, 1), jnp.int32)),
         )(ct, x, l)[0]
 

@@ -219,13 +219,33 @@ class TestHistogram:
         got = np.asarray(ops.equalize_hist(jnp.asarray(gray)))
         np.testing.assert_array_equal(got, cv2.equalizeHist(gray))
 
-    def test_clahe_close(self, rng):
+    def test_clahe_bit_exact_bottle(self, rng):
         gray = cv2.cvtColor(_bottle(rng), cv2.COLOR_BGR2GRAY)
-        got = np.asarray(ops.clahe(jnp.asarray(gray), 2.0, 8)).astype(int)
-        want = cv2.createCLAHE(2.0, (8, 8)).apply(gray).astype(int)
-        # CLAHE interpolation rounding differs at half-LSB points.
-        assert np.abs(got - want).mean() < 1.0
-        assert np.abs(got - want).max() <= 2
+        got = np.asarray(ops.clahe(jnp.asarray(gray), 2.0, 8))
+        np.testing.assert_array_equal(got, cv2.createCLAHE(2.0, (8, 8))
+                                      .apply(gray))
+
+    @pytest.mark.parametrize("h,w,grid,clip", [
+        (120, 160, 8, 2.0),     # divisible both dims
+        (48, 110, 4, 1.0),      # H divisible, W not (full extra tile row!)
+        (406, 392, 8, 3.5),     # W divisible, H not
+        (37, 53, 8, 2.0),       # neither divisible
+        (192, 579, 4, 0.0),     # clipping disabled
+        (16, 40, 16, 2.0),      # pad (16 rows) exceeds source height
+    ])
+    def test_clahe_bit_exact(self, h, w, grid, clip):
+        r = np.random.RandomState(h * 131 + w)
+        gray = r.randint(0, 256, (h, w), np.uint8)
+        got = np.asarray(ops.clahe(jnp.asarray(gray), clip, grid))
+        want = cv2.createCLAHE(clip, (grid, grid)).apply(gray)
+        np.testing.assert_array_equal(got, want)
+
+    def test_clahe_bit_exact_smooth(self, rng):
+        # peaked histograms exercise the residual-redistribution path
+        gray = cv2.GaussianBlur(_noise(rng, 97, 203), (9, 9), 0)
+        got = np.asarray(ops.clahe(jnp.asarray(gray), 3.0, 8))
+        np.testing.assert_array_equal(
+            got, cv2.createCLAHE(3.0, (8, 8)).apply(gray))
 
 
 class TestCanny:
