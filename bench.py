@@ -252,6 +252,21 @@ def main():
         n_stream = 50
         period = 1 / 25
 
+        # Per-frame tunnel floor for THIS protocol: a fresh 0.9 MB H2D put
+        # + launch + fetch round trip with a no-op program.  The stream
+        # netting uses this (not config#1's pre-put floor): through the
+        # tunnel the put alone costs ~45 ms at ~20 MB/s, which a
+        # PCIe-attached host pays ~60 us for.
+        noop1 = jax.jit(lambda x: x[:, 0, 0, 0] > 0)
+        probe = frames[:1]
+        np.asarray(noop1(jax.device_put(probe, dev))[0])
+        lat_f = []
+        for _ in range(8):
+            t1 = time.perf_counter()
+            np.asarray(noop1(jax.device_put(probe, dev))[0])
+            lat_f.append(time.perf_counter() - t1)
+        floor_ms = float(np.percentile(np.asarray(lat_f) * 1000, 50))
+
         def step(frame_np):
             x1 = jax.device_put(frame_np[None], dev)
             a, _ = run(x1)
@@ -279,16 +294,16 @@ def main():
         feeder.close()
         stream_ms = np.asarray(stream_lat) * 1000
         deadline_hits = int((stream_ms <= 40.0).sum())
-        # The axon tunnel charges ~32 ms launch+fetch per round trip
-        # (config#1's no-op floor p50_0) that a PCIe-attached host does not
-        # pay; report hits with the tunnel floor netted out too.
-        net_ms = stream_ms - p50_0
+        # Net out the measured put+launch+fetch tunnel floor (floor_ms):
+        # what remains is the detection program + feeder overhead a
+        # PCIe-attached host would actually see against the 40 ms budget.
+        net_ms = stream_ms - floor_ms
         net_hits = int((net_ms <= 40.0).sum())
         log(f"config#4 25fps stream: {deadline_hits}/{n_stream} frames met "
             f"the 40 ms budget (prompt-collected read+H2D+detect+verdict; "
             f"p50 {np.percentile(stream_ms, 50):.1f} ms, "
-            f"max {stream_ms.max():.1f} ms; net of the {p50_0:.1f} ms tunnel "
-            f"floor: {net_hits}/{n_stream} hits, "
+            f"max {stream_ms.max():.1f} ms; net of the {floor_ms:.1f} ms "
+            f"put+launch+fetch tunnel floor: {net_hits}/{n_stream} hits, "
             f"p50 {np.percentile(net_ms, 50):.1f} ms)")
         # config #5 (full 4-camera line sim) lives in examples/line_simulation.py
 

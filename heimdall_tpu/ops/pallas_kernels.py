@@ -153,10 +153,17 @@ def _run_pack(fg, big):
     return _lane_cumsum_mxu(start) * big
 
 
-def _min_scan_plain(v, axis, reverse, fill):
-    """Plain (unsegmented) running-min doubling scan along lanes."""
+def _min_scan_plain(v, axis, reverse, fill, max_steps=None):
+    """Plain (unsegmented) running-min doubling scan along lanes.
+
+    max_steps truncates the ladder: the running min then only reaches
+    2^max_steps - 1 positions back, NOT the whole row.  Only valid when
+    a fixpoint loop certifies convergence around it (propagation stays
+    monotone, just shorter-range per phase)."""
     size = v.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
+    if max_steps is not None:
+        steps = min(steps, max_steps)
     d = 1
     sgn = 1 if not reverse else -1
     for _ in range(steps):
@@ -165,12 +172,12 @@ def _min_scan_plain(v, axis, reverse, fill):
     return v
 
 
-def _run_min_packed(v, rb, fill=1 << 30):
+def _run_min_packed(v, rb, fill=1 << 30, max_steps=None):
     """Per-run min broadcast to the whole run: fwd then bwd plain
     min-scans over run-id-packed keys (see _run_pack).  ~2x cheaper than
     the blocked-flag segmented scan (no flag plane to carry)."""
-    v = _min_scan_plain(v - rb, 1, False, fill) + rb
-    return _min_scan_plain(v + rb, 1, True, fill) - rb
+    v = _min_scan_plain(v - rb, 1, False, fill, max_steps) + rb
+    return _min_scan_plain(v + rb, 1, True, fill, max_steps) - rb
 
 
 def _max_scan_plain(v, axis, reverse, fill):
@@ -205,7 +212,7 @@ def _neighbor_min8(lab, sentinel):
                                         _shift_const(row, -1, 0, sentinel)))
 
 
-def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False):
+def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False, scan_steps=None):
     """Label propagation via run-id-packed PLAIN min-scans.
 
     Each phase broadcasts the per-run min along one orientation; run-id
@@ -215,7 +222,14 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False):
     of two row+col sweeps — and a neighbor-min before every phase for
     diagonal (8-conn) propagation.  Converges to the identical fixpoint
     (min linear index per component) as the segmented formulation.
+
+    scan_steps (adaptive mode only) truncates each phase's doubling
+    ladder to that many steps — labels then propagate <= 2^scan_steps
+    per phase instead of run-wide, trading more (certified) sweeps for
+    cheaper phases on scenes whose components are small.
     """
+    assert scan_steps is None or adaptive, \
+        "truncated scans need the adaptive fixpoint certificate"
     H, W = lab.shape
     big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
     # key bound: c_max * big + sentinel must stay clear of the 2^30 fill
@@ -226,7 +240,9 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False):
 
     def phase(l, rb, f):
         l = jnp.where(f > 0, _neighbor_min8(l, sentinel), sentinel)
-        return jnp.where(f > 0, _run_min_packed(l, rb), sentinel)
+        return jnp.where(f > 0,
+                         _run_min_packed(l, rb, max_steps=scan_steps),
+                         sentinel)
 
     def sweep2(l):
         l = phase(l, rb_r, fg)
@@ -315,7 +331,7 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
 # the fused kernel
 # ---------------------------------------------------------------------------
 
-def _make_label_kernel(H, W, K, sweeps, adaptive=False):
+def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None):
     """Kernel A: frame → CCL labels (int32; background = H*W).
 
     Runs preprocess (gray → Q8 blur5 → float adaptive-11 threshold → open →
@@ -356,7 +372,7 @@ def _make_label_kernel(H, W, K, sweeps, adaptive=False):
         fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
         lin = row_idx * W + col_idx
         lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg, sentinel,
-                          sweeps, adaptive=adaptive)
+                          sweeps, adaptive=adaptive, scan_steps=scan_steps)
         lab_ref[0] = lab
 
     return kernel
@@ -460,10 +476,12 @@ def _make_stats_kernel(H, W, K):
 
 
 @functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
-                                             "interpret", "adaptive"))
+                                             "interpret", "adaptive",
+                                             "scan_steps"))
 def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          max_blobs: int = 64, sweeps: int = 6,
-                         interpret: bool = False, adaptive: bool = False):
+                         interpret: bool = False, adaptive: bool = False,
+                         scan_steps=None):
     """Run the fused two-kernel pipeline over a [B, H, W, 3] uint8 batch.
 
     Kernel A labels (VMEM-resident preprocess + fill + CCL, one uint8
@@ -479,7 +497,8 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
     cm = jnp.transpose(frames, (0, 3, 1, 2))   # channel-major for tiling
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
 
-    label_kernel = _make_label_kernel(H, W, K, sweeps, adaptive=adaptive)
+    label_kernel = _make_label_kernel(H, W, K, sweeps, adaptive=adaptive,
+                                      scan_steps=scan_steps)
     gs_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -540,7 +559,8 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
 
 def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
                       use_color: bool = True, sweeps: int = 6,
-                      interpret: bool = False, adaptive: bool = False):
+                      interpret: bool = False, adaptive: bool = False,
+                      scan_steps=None):
     """Fused-kernel equivalent of ops.blobs.blob_stats for the
     contamination pipeline: runs the kernel and assembles a BlobTable
     (same field semantics as the XLA path — tests/test_pallas_kernels.py
@@ -550,7 +570,7 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
 
     sums, bbox, bgsum, n_blobs = contamination_pallas(
         frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
-        interpret=interpret, adaptive=adaptive)
+        interpret=interpret, adaptive=adaptive, scan_steps=scan_steps)
 
     area_px = sums[:, S_ONES]
     valid = area_px > 0
@@ -599,13 +619,15 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
 
 @functools.partial(jax.jit, static_argnames=("max_blobs", "use_color",
                                              "formula", "sweeps",
-                                             "interpret", "adaptive"))
+                                             "interpret", "adaptive",
+                                             "scan_steps"))
 def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 max_size, min_confidence,
                                 max_blobs: int = 64, use_color: bool = True,
                                 formula: str = "python", sweeps: int = 6,
                                 interpret: bool = False,
-                                adaptive: bool = False):
+                                adaptive: bool = False,
+                                scan_steps=None):
     """One-dispatch detection: fused kernels + confidence + gating.
 
     Returns (BlobTable, confidence [B,K], accepted [B,K]) — the same
@@ -618,7 +640,7 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
     table = pallas_blob_table(frames, contrast_threshold,
                               max_blobs=max_blobs, use_color=use_color,
                               sweeps=sweeps, interpret=interpret,
-                              adaptive=adaptive)
+                              adaptive=adaptive, scan_steps=scan_steps)
     conf = (blobs_mod.confidence_native(table) if formula == "native"
             else blobs_mod.confidence_python(table))
     accepted = (table.valid

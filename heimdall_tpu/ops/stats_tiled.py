@@ -39,6 +39,34 @@ from heimdall_tpu.ops.blobs import BlobTable, _integral, _bbox_sum
 S_ONES, S_BND, S_X, S_Y, S_GRAY, S_B, S_G, S_R = range(8)
 
 
+def _batch_chunk(B: int, cap: int = 32) -> int:
+    """Largest divisor of B that is <= cap.
+
+    Scalar-prefetch operands live in SMEM (1 MB/core on v5e) and are
+    loaded WHOLE, so their footprint scales with the kernel's batch: at
+    B=128 the slot-incidence tables alone exceed SMEM (measured: 1.13 MB
+    needed).  The kernels therefore run on batch chunks under a
+    sequential lax.map — still ONE dispatch, identical results, bounded
+    SMEM (~290 KB at chunk 32)."""
+    for c in range(min(B, cap), 0, -1):
+        if B % c == 0:
+            return c
+    return 1
+
+
+def _chunked_call(call, B, BC, operands, n_out):
+    """Run ``call`` (a pallas_call closure over batch-BC operands) across
+    the whole batch via lax.map; reshapes outputs back to [B, ...]."""
+    if BC == B:
+        return call(*operands)
+    NC = B // BC
+    resh = tuple(x.reshape((NC, BC) + x.shape[1:]) for x in operands)
+    outs = jax.lax.map(lambda a: call(*a), resh)
+    if n_out == 1:
+        return outs.reshape((B,) + outs.shape[2:])
+    return tuple(o.reshape((B,) + o.shape[2:]) for o in outs)
+
+
 def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
                               with_slots=False):
     """Grid (B, R).  Accumulates per-slot sums and bboxes across bands.
@@ -214,22 +242,27 @@ def _bbox_sums_banded(bbox, slot_list, slot_count, gray_p, cm, band, W, K,
                                      lambda b, r, *_: (b, 0, r, 0),
                                      memory_space=pltpu.VMEM))
         args.append(cm)
+    BC = _batch_chunk(B)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, R),
+        grid=(BC, R),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((1, C, K), lambda b, r, *_: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
     )
-    (out,) = pl.pallas_call(
-        kernel,
-        grid_spec=gs,
-        out_shape=(jax.ShapeDtypeStruct((B, C, K), jnp.int32),),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(bbox, slot_list, slot_count, *args)
-    return out
+
+    def bbox_call(*ops_):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=(jax.ShapeDtypeStruct((BC, C, K), jnp.int32),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*ops_)[0]
+
+    return _chunked_call(bbox_call, B, BC,
+                         (bbox, slot_list, slot_count, *args), 1)
 
 
 @functools.partial(jax.jit, static_argnames=("band", "max_blobs",
@@ -300,9 +333,10 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     if with_slots:
         scalars += [slot_list.astype(jnp.int32),
                     slot_count.astype(jnp.int32)]
+    BC = _batch_chunk(B)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(B, R),
+        grid=(BC, R),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, S, K), lambda b, r, *_: (b, 0, 0),
@@ -311,15 +345,19 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
                          memory_space=pltpu.VMEM),
         ],
     )
-    sums, bbox = pl.pallas_call(
-        kernel,
-        grid_spec=gs,
-        out_shape=(jax.ShapeDtypeStruct((B, S, K), jnp.int32),
-                   jax.ShapeDtypeStruct((B, 4, K), jnp.int32)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*scalars, *args)
+
+    def stats_call(*ops_):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=(jax.ShapeDtypeStruct((BC, S, K), jnp.int32),
+                       jax.ShapeDtypeStruct((BC, 4, K), jnp.int32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*ops_)
+
+    sums, bbox = _chunked_call(stats_call, B, BC, (*scalars, *args), 2)
 
     # ---- assemble the BlobTable (same math as ops/blobs.py) ---------------
     area_px = sums[:, S_ONES]

@@ -132,3 +132,29 @@ def test_stats_tiled_with_slots_matches_without():
                                slot_list=sl, slot_count=sc,
                                interpret=INTERP)
     _tables_equal(base, slotted)
+
+
+def test_stats_tiled_chunked_batch_matches():
+    """B > 32 triggers the SMEM-bounded lax.map chunking (ops/stats_tiled
+    _batch_chunk): results must be identical to the unchunked contract.
+    At the 2 MP design point B=128 the slot tables alone need 1.13 MB of
+    the core's 1 MB SMEM — chunking is what makes that batch compile."""
+    from heimdall_tpu.ops.stats_tiled import _batch_chunk
+    assert _batch_chunk(128) == 32
+    assert _batch_chunk(48) == 24
+    assert _batch_chunk(7) == 7
+
+    mask, gray, color = _scene(34, 32, 48, 4, seed=5)
+    mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
+    band = 16
+    lab, rl, nb, sl, sc = connected_components_tiled(
+        mask, band=band, sweeps=2, adaptive=True, interpret=INTERP,
+        return_roots=16, band_slots=True)
+    got = blob_stats_tiled(lab, mask, jnp.asarray(gray),
+                           jnp.asarray(color), band=band, max_blobs=16,
+                           root_table=rl, root_count=nb,
+                           slot_list=sl, slot_count=sc, interpret=INTERP)
+    labels = connected_components(mask)
+    ref = blobs_mod.blob_stats(labels, mask, jnp.asarray(gray),
+                               jnp.asarray(color), max_blobs=16)
+    _tables_equal(ref, got)
