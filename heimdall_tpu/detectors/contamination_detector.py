@@ -192,7 +192,15 @@ class ContaminationDetector(DefectDetector):
         # ~12 fewer shift/min ops in every phase (~8% whole-path win on
         # v5e).  None = full-width scans; ignored when ccl_adaptive is
         # off (no certificate to lean on).
-        self.ccl_scan_steps = self.config.get("ccl_scan_steps", 6)
+        scan_steps = self.config.get("ccl_scan_steps", 6)
+        if scan_steps is not None and scan_steps < 1:
+            # 0/negative would truncate every scan ladder to nothing,
+            # leaving only 1-px neighbor-min propagation — still correct
+            # under the fixpoint certificate but orders of magnitude more
+            # sweeps.  None (full-width scans) is the supported "off".
+            raise ValueError(
+                f"ccl_scan_steps must be None or >= 1, got {scan_steps}")
+        self.ccl_scan_steps = scan_steps
         # Compute backend: "xla" composes the ops library (fast compiles,
         # runs anywhere); "pallas" uses the fused VMEM-resident kernels
         # (ops/pallas_kernels.py — ~4x faster steady-state on a v5e but

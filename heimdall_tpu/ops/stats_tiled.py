@@ -39,32 +39,51 @@ from heimdall_tpu.ops.blobs import BlobTable, _integral, _bbox_sum
 S_ONES, S_BND, S_X, S_Y, S_GRAY, S_B, S_G, S_R = range(8)
 
 
-def _batch_chunk(B: int, cap: int = 32) -> int:
-    """Largest divisor of B that is <= cap.
+# SMEM chunk anchor: at the default operating point (K=64, band 128 →
+# R=9) the stats kernel measures ~9.0 KB of SMEM per batch item (1.13 MB
+# needed at B=128, ~290 KB at chunk 32) against 2.6 KB analytic —
+# Mosaic's scalar layout pads by ~3.5x.  Chunk 32 is proven safe for
+# both banded kernels; the heavier one (bbox sums, 841 words/item)
+# bounds the anchor product, and the cap scales DOWN in proportion when
+# K or R inflate a kernel's scalar footprint so larger blob tables or
+# finer bands can never blow the 1 MB SMEM again.
+_SAFE_CHUNK = 32
+_SAFE_WORDS = 841            # 4K + R*K + R at K=64, R=9 (bbox kernel)
 
-    Scalar-prefetch operands live in SMEM (1 MB/core on v5e) and are
-    loaded WHOLE, so their footprint scales with the kernel's batch: at
-    B=128 the slot-incidence tables alone exceed SMEM (measured: 1.13 MB
-    needed).  The kernels therefore run on batch chunks under a
-    sequential lax.map — still ONE dispatch, identical results, bounded
-    SMEM (~290 KB at chunk 32)."""
-    for c in range(min(B, cap), 0, -1):
-        if B % c == 0:
-            return c
-    return 1
+
+def _batch_chunk(B: int, scalar_words: int = _SAFE_WORDS) -> int:
+    """Batch-chunk size bounded by the scalar-prefetch SMEM footprint.
+
+    scalar_words: per-batch-item int32 words across ALL scalar-prefetch
+    operands of the kernel.  Never exceeds the measured-safe chunk 32;
+    shrinks proportionally past the anchor footprint so default shapes
+    keep their proven (and cache-warmed) chunk."""
+    cap = max(1, min(_SAFE_CHUNK,
+                     (_SAFE_CHUNK * _SAFE_WORDS) // max(scalar_words, 1)))
+    return min(B, cap)
 
 
 def _chunked_call(call, B, BC, operands, n_out):
     """Run ``call`` (a pallas_call closure over batch-BC operands) across
-    the whole batch via lax.map; reshapes outputs back to [B, ...]."""
-    if BC == B:
+    the whole batch via lax.map; reshapes outputs back to [B, ...].
+
+    B need not divide by BC: operands are zero-padded along the batch
+    axis (safe — every kernel gates its slot loop on a per-item count,
+    and padded counts are 0, so padded rows do no work) and outputs are
+    sliced back to B."""
+    if BC >= B:
         return call(*operands)
-    NC = B // BC
+    NC = -(-B // BC)
+    Bp = NC * BC
+    if Bp != B:
+        operands = tuple(
+            jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
+            for x in operands)
     resh = tuple(x.reshape((NC, BC) + x.shape[1:]) for x in operands)
     outs = jax.lax.map(lambda a: call(*a), resh)
     if n_out == 1:
-        return outs.reshape((B,) + outs.shape[2:])
-    return tuple(o.reshape((B,) + o.shape[2:]) for o in outs)
+        return outs.reshape((Bp,) + outs.shape[2:])[:B]
+    return tuple(o.reshape((Bp,) + o.shape[2:])[:B] for o in outs)
 
 
 def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
@@ -242,7 +261,7 @@ def _bbox_sums_banded(bbox, slot_list, slot_count, gray_p, cm, band, W, K,
                                      lambda b, r, *_: (b, 0, r, 0),
                                      memory_space=pltpu.VMEM))
         args.append(cm)
-    BC = _batch_chunk(B)
+    BC = _batch_chunk(B, 4 * K + R * K + R)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BC, R),
@@ -333,7 +352,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     if with_slots:
         scalars += [slot_list.astype(jnp.int32),
                     slot_count.astype(jnp.int32)]
-    BC = _batch_chunk(B)
+    BC = _batch_chunk(B, K + 1 + (R * K + R if with_slots else 0))
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(BC, R),

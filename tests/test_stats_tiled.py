@@ -139,10 +139,20 @@ def test_stats_tiled_chunked_batch_matches():
     _batch_chunk): results must be identical to the unchunked contract.
     At the 2 MP design point B=128 the slot tables alone need 1.13 MB of
     the core's 1 MB SMEM — chunking is what makes that batch compile."""
-    from heimdall_tpu.ops.stats_tiled import _batch_chunk
+    from heimdall_tpu.ops.stats_tiled import _batch_chunk, _SAFE_WORDS
     assert _batch_chunk(128) == 32
-    assert _batch_chunk(48) == 24
+    # non-divisible batches keep the full measured-safe chunk (padding in
+    # _chunked_call absorbs the remainder) — a prime batch no longer
+    # degrades to B sequential batch-1 invocations
+    assert _batch_chunk(48) == 32
+    assert _batch_chunk(37) == 32
     assert _batch_chunk(7) == 7
+    # heavier scalar-prefetch footprints shrink the cap proportionally so
+    # the SMEM budget holds for any K/R, lighter ones never exceed the
+    # measured-safe 32
+    assert _batch_chunk(128, 2 * _SAFE_WORDS) == 16
+    assert _batch_chunk(128, 64 * _SAFE_WORDS) == 1
+    assert _batch_chunk(128, 10) == 32
 
     mask, gray, color = _scene(34, 32, 48, 4, seed=5)
     mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
