@@ -4,13 +4,27 @@
 Reproduces BASELINE.json config #3 (the headline metric): N-frame batched
 contamination inspection — grayscale → Gaussian blur → adaptive threshold →
 morphology → connected-component labeling → per-blob defect stats — on
-640x480 BGR frames.  Default batch 256: ~0.4 ms of device time per frame
-with the adaptive fixpoint kernels (~2500 fps/chip), per-frame p99 latency
-~3 ms (inside the reference's 10 ms deadline).
+640x480 BGR frames, then the remaining BASELINE configs (#1 single-image
+latency, #2 preprocess-only, #4 25 fps stream, #5 full line simulation)
+and the 2 MP design point as guarded secondaries.
 
 Baseline for vs_baseline: the reference line's design throughput of
 100 frames/sec (90,000 BPH = 25 bottles/s across 4 cameras — README.md:3,
 heimdall/core/config.py:27, docs/architecture_design.md:3).
+
+Protocol notes for this environment (TPU behind a network tunnel):
+  * Bench frames are SYNTHESIZED ON DEVICE (same scene, bit-identical to
+    make_frames — tests/test_bench_synth.py) so the measurement starts
+    from HBM-resident data instead of pushing ~2 GB through the tunnel
+    (~20-100 MB/s, minutes of pure transfer).  The reference's protocol
+    also times detection on an in-memory image (benchmark.py:66-73).
+  * The persistent compilation cache (.jax_cache/, committed) is
+    instrumented: the bench logs every cache entry the run WRITES — a
+    nonempty list means this process compiled something the repo should
+    have shipped warm.
+  * Tunnel-bound measurements (fresh H2D per batch) run LAST and report
+    the measured tunnel floor alongside, so chip numbers are never
+    hostage to tunnel weather.
 
 Prints ONE JSON line to stdout; detail metrics go to stderr.
 """
@@ -21,6 +35,8 @@ import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg):
@@ -39,42 +55,146 @@ class guarded:
         return self
 
     def __exit__(self, et, ev, tb):
-        if et is not None:
-            log(f"{self.name} FAILED: {et.__name__}: {str(ev)[:300]}")
+        if et is None:
+            return False
+        # swallow ordinary failures only: KeyboardInterrupt/SystemExit must
+        # still abort the whole bench
+        if not issubclass(et, Exception):
+            return False
+        log(f"{self.name} FAILED: {et.__name__}: {str(ev)[:300]}")
         return True
 
 
-def make_frames(n, h=480, w=640, seed=0):
-    """Synthetic contaminated bottle frames (the test_contamination scene)."""
-    from heimdall_tpu.utils import draw
+# ---------------------------------------------------------------------------
+# bench scene (the test_contamination scenario)
+# ---------------------------------------------------------------------------
+
+def scene_params(n, h=480, w=640, seed=0):
+    """Per-frame contaminant parameters [n, 3, 4] (x, y, r, v; r=-1 pads).
+
+    Draws from the SAME RandomState sequence as make_frames so the
+    device-synthesized batch is bit-identical to the host one."""
     rng = np.random.RandomState(seed)
+    p = np.full((n, 3, 4), -1, np.int32)
+    for i in range(n):
+        for j in range(rng.randint(1, 4)):
+            x = rng.randint(w // 4, 3 * w // 4)
+            y = rng.randint(h // 4, 3 * h // 4)
+            r = rng.randint(4, 16)
+            v = int(rng.randint(0, 60))
+            p[i, j] = (x, y, r, v)
+    return p
+
+
+def _scene_base(h, w):
+    """The static scene (bottle rect outline + base disc) as [h, w] int32."""
+    import jax.numpy as jnp
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    img = jnp.full((h, w), 220, jnp.int32)
+    # rect_outline((w/2-100, h/2-120), (w/2+100, h/2+120), t=2): four
+    # filled_rects, t//2 = 1 before the corner, (t-1)//2 = 0 after
+    x0, x1 = w // 2 - 100, w // 2 + 100
+    y0, y1 = h // 2 - 120, h // 2 + 120
+    hband = (xs >= x0 - 1) & (xs <= x1 + 1)
+    vband = (ys >= y0 - 1) & (ys <= y1 + 1)
+    rect = ((hband & (((ys >= y0 - 1) & (ys <= y0))
+                      | ((ys >= y1 - 1) & (ys <= y1))))
+            | (vband & (((xs >= x0 - 1) & (xs <= x0))
+                        | ((xs >= x1 - 1) & (xs <= x1)))))
+    img = jnp.where(rect, 100, img)
+    cy, cx, r = h // 2 + 100, w // 2, 95
+    disc = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+    return jnp.where(disc, 80, img)
+
+
+def synth_frames_device(params, h=480, w=640):
+    """[n, 3, 4] params -> [n, h, w, 3] uint8 frames, entirely on device.
+
+    Bit-identical to make_frames(n, h, w, seed) when params come from
+    scene_params(n, h, w, seed) — asserted in tests/test_bench_synth.py."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def build(p):
+        ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+        base = _scene_base(h, w)
+
+        def per_frame(q):
+            img = base
+            for j in range(q.shape[0]):   # draw order matters on overlap
+                x, y, r, v = q[j, 0], q[j, 1], q[j, 2], q[j, 3]
+                m = (r >= 0) & ((ys - y) ** 2 + (xs - x) ** 2 <= r * r)
+                img = jnp.where(m, v, img)
+            return img
+
+        g = jax.vmap(per_frame)(p).astype(jnp.uint8)
+        return jnp.repeat(g[..., None], 3, axis=-1)
+
+    return build(jnp.asarray(params))
+
+
+def make_frames(n, h=480, w=640, seed=0):
+    """Host-side synthetic contaminated bottle frames (kept for tests,
+    profilers, and the H2D-path measurements)."""
+    from heimdall_tpu.utils import draw
+    params = scene_params(n, h, w, seed)
     frames = np.empty((n, h, w, 3), np.uint8)
     for i in range(n):
         img = np.full((h, w, 3), 220, np.uint8)
         draw.rect_outline(img, (w // 2 - 100, h // 2 - 120),
                           (w // 2 + 100, h // 2 + 120), (100, 100, 100), 2)
         draw.filled_circle(img, (w // 2, h // 2 + 100), 95, (80, 80, 80))
-        for _ in range(rng.randint(1, 4)):
-            x = rng.randint(w // 4, 3 * w // 4)
-            y = rng.randint(h // 4, 3 * h // 4)
-            r = rng.randint(4, 16)
-            v = int(rng.randint(0, 60))
-            draw.filled_circle(img, (x, y), r, (v, v, v))
+        for j in range(3):
+            x, y, r, v = params[i, j]
+            if r >= 0:
+                draw.filled_circle(img, (x, y), int(r), (int(v),) * 3)
         frames[i] = img
     return frames
 
 
+# ---------------------------------------------------------------------------
+# persistent-cache instrumentation
+# ---------------------------------------------------------------------------
+
+_CACHE_DIR = os.path.join(REPO, ".jax_cache")
+
+
+def _cache_snapshot():
+    try:
+        return set(os.listdir(_CACHE_DIR))
+    except OSError:
+        return set()
+
+
+def _cache_delta(before, label):
+    new = sorted(_cache_snapshot() - before)
+    if new:
+        log(f"cache MISS during {label}: this process compiled+wrote "
+            f"{len(new)} entries (commit these): {new}")
+    else:
+        log(f"cache: no new entries written during {label} (warm)")
+    return _cache_snapshot()
+
+
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
     from heimdall_tpu.detectors.contamination_detector import (
         ContaminationDetector)
 
+    t_start = time.perf_counter()
+
+    def phase(name):
+        log(f"[t+{time.perf_counter()-t_start:7.1f}s] {name}")
+
+    t0 = time.perf_counter()
     dev = jax.devices()[0]
-    log(f"device: {dev}")
+    log(f"device: {dev} (backend init {time.perf_counter()-t0:.2f}s)")
 
     # batch 2048: the tunnel charges ~24 ms of overhead per executable
     # launch on the EXECUTION timeline regardless of batch size — even
@@ -84,7 +204,17 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
-    frames = make_frames(batch)
+
+    cache_seen = _cache_snapshot()
+    t0 = time.perf_counter()
+    x_dev = synth_frames_device(scene_params(batch))
+    x_dev.block_until_ready()
+    np.asarray(x_dev[0, 0, 0])      # axon: block_until_ready doesn't block
+    log(f"device frame synthesis ({batch} frames): "
+        f"{time.perf_counter()-t0:.2f}s (no tunnel H2D; observed 0.8-750s "
+        f"run to run — remote compile on first-ever shape, else remote "
+        f"server state/weather)")
+    phase("synthesis done")
 
     det = ContaminationDetector(config={
         "backend": backend, "include_contours": False})
@@ -96,7 +226,6 @@ def main():
     # warmup / compile (fall back to the XLA backend if the Mosaic
     # toolchain is unavailable in this environment)
     t0 = time.perf_counter()
-    x_dev = jax.device_put(frames, dev)
     try:
         acc, _ = run(x_dev)
         acc = jax.device_get(acc)
@@ -108,8 +237,9 @@ def main():
             "backend": backend, "include_contours": False})
         acc, _ = run(x_dev)
         acc = jax.device_get(acc)
-    log(f"compile+first batch: {time.perf_counter()-t0:.2f}s; "
-        f"defects in batch: {int(acc.sum())}")
+    log(f"first batch (compile-or-cache-load + run): "
+        f"{time.perf_counter()-t0:.2f}s; defects in batch: {int(acc.sum())}")
+    cache_seen = _cache_delta(cache_seen, "headline warmup")
 
     # --- headline: device-resident frames (the reference's benchmark
     # protocol detects an in-memory image N times — benchmark.py:66-73 —
@@ -118,22 +248,40 @@ def main():
     # front and force ONLY the last one: the device executes launches in
     # order, so the last result's readiness bounds the whole window, and
     # no mid-loop ~30 ms fetch round-trips pollute the measurement.
-    lat = []
-    results = []
-    t_wall = time.perf_counter()
-    for _ in range(iters):
-        t1 = time.perf_counter()
-        acc_d, _ = run(x_dev)
-        results.append(acc_d)
-        lat.append(time.perf_counter() - t1)
-    np.asarray(results[-1][0, 0])
-    total_wall = time.perf_counter() - t_wall
-    del results
-    lat_ms = np.asarray(lat) * 1000
-    fps = batch * iters / total_wall
-    per_batch_ms = total_wall / iters * 1000
-    log(f"backend={backend} batch={batch} iters={iters}")
-    log(f"device-resident pipelined throughput: {fps:.1f} frames/sec "
+    #
+    # Measured as THREE independent windows, headline = MEDIAN window:
+    # the TPU sits behind a shared tunnel whose weather varies run to
+    # run (r1/r2 showed unexplained 1.7x swings between runs minutes
+    # apart); per-window logging makes any such swing visible inside a
+    # single artifact instead of across rounds.
+    n_windows = 3
+    win_iters = max(2, iters // n_windows)
+    win_fps = []
+    lat_all = []
+    for w in range(n_windows):
+        lat = []
+        results = []
+        t_wall = time.perf_counter()
+        for _ in range(win_iters):
+            t1 = time.perf_counter()
+            acc_d, _ = run(x_dev)
+            results.append(acc_d)
+            lat.append(time.perf_counter() - t1)
+        np.asarray(results[-1][0, 0])
+        total_wall = time.perf_counter() - t_wall
+        del results
+        f = batch * win_iters / total_wall
+        win_fps.append(f)
+        lat_all += lat
+        log(f"window {w}: {f:.1f} fps ({total_wall/win_iters*1000:.1f} "
+            f"ms/batch of {batch})")
+    fps = float(np.median(win_fps))
+    per_batch_ms = batch / fps * 1000
+    lat_ms = np.asarray(lat_all) * 1000
+    log(f"backend={backend} batch={batch} iters={win_iters}x{n_windows}")
+    log(f"device-resident pipelined throughput (median of {n_windows} "
+        f"windows, spread {min(win_fps):.0f}-{max(win_fps):.0f}): "
+        f"{fps:.1f} frames/sec "
         f"({fps*3600:.0f} BPH at 1 frame/bottle, {fps*3600/4:.0f} BPH at 4)")
     log(f"submission latency ms: mean={lat_ms.mean():.2f} "
         f"min={lat_ms.min():.2f} p50={np.percentile(lat_ms,50):.2f} "
@@ -154,33 +302,10 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 2),
     }), flush=True)
 
-    del x_dev
-
-    with guarded("h2d-secondary"):
-        # --- secondary: end-to-end including fresh H2D per batch.  In this
-        # environment the TPU sits behind a network tunnel (~20-150 MB/s), so
-        # this measures the tunnel, not the chip; recorded for transparency.
-        # Capped at 128 frames/put: the tunnel moves ~20 MB/s, so a full
-        # 2048-frame put is 1.9 GB = minutes of pure transfer.
-        nh = min(batch, 128)
-        small = frames[:nh]
-        lat2 = []
-        for _ in range(3):
-            t1 = time.perf_counter()
-            x2 = jax.device_put(small, dev)
-            a, _ = run(x2)
-            np.asarray(a[0, 0])
-            lat2.append(time.perf_counter() - t1)
-            del x2, a
-        lat2_ms = np.asarray(lat2) * 1000
-        e2e_fps = nh / (np.percentile(lat2_ms, 50) / 1000.0)
-        log(f"with per-batch H2D through the tunnel ({nh} frames/put): "
-            f"{e2e_fps:.1f} frames/sec "
-            f"(p50 {np.percentile(lat2_ms,50):.1f} ms/batch)")
-
     p50_0 = 0.0
+    phase("headline done")
     with guarded("config#1"):
-        # --- the remaining BASELINE.json configs (stderr detail) -------------
+        # --- the remaining BASELINE.json configs (stderr detail) -----------
         # config #1: single-image contamination detect (test_contamination),
         # latency-shaped: persistent compiled batch-1 program, pre-put input
         # buffer, one launch, minimal D2H (the [1, K] accepted row).  The
@@ -188,7 +313,7 @@ def main():
         # (scripts/profile_dispatch.py), so the same protocol is also timed
         # on a no-op program and the difference — the detection program's own
         # cost — is reported against the reference's <10 ms deadline.
-        one = jax.device_put(frames[:1], dev)
+        one = jax.device_put(np.asarray(x_dev[:1]), dev)
         noop = jax.jit(lambda x: x[:, 0, 0, 0] > 0)
         run(one)
         np.asarray(noop(one)[0])
@@ -212,7 +337,6 @@ def main():
         # Batch capped at 256: the XLA preprocess materializes several f32/i32
         # planes per frame, which at batch 2048 exceeds the chip's 16 GB HBM
         # alongside the resident headline buffers.
-        import jax.numpy as jnp
         from heimdall_tpu import ops
 
         @jax.jit
@@ -222,7 +346,7 @@ def main():
             return ops.adaptive_threshold(b, 255, "gaussian", "binary_inv",
                                           11, jnp.int32(15))
         npre = min(batch, 256)
-        xb = jax.device_put(frames[:npre], dev)
+        xb = jnp.array(x_dev[:npre])     # device-side copy, no tunnel
         np.asarray(preprocess(xb)[0, 0, 0])
         lat2b = []
         for _ in range(10):
@@ -234,7 +358,9 @@ def main():
         pre_ms = np.percentile(np.asarray(lat2b) * 1000, 50)
         log(f"config#2 preprocessing only: p50 {pre_ms:.2f} ms/batch of {npre} "
             f"({npre/(pre_ms/1000):.0f} fps)")
+    cache_seen = _cache_delta(cache_seen, "configs #1-#2")
 
+    phase("configs #1-#2 done")
     with guarded("config#4"):
         # config #4: file-source acquisition stream at 25 fps feeding inspect,
         # pipelined through runtime/feeder.py's DeviceFeeder in push mode: a
@@ -258,7 +384,7 @@ def main():
         # tunnel the put alone costs ~45 ms at ~20 MB/s, which a
         # PCIe-attached host pays ~60 us for.
         noop1 = jax.jit(lambda x: x[:, 0, 0, 0] > 0)
-        probe = frames[:1]
+        probe = np.asarray(x_dev[:1])
         np.asarray(noop1(jax.device_put(probe, dev))[0])
         lat_f = []
         for _ in range(8):
@@ -305,8 +431,29 @@ def main():
             f"max {stream_ms.max():.1f} ms; net of the {floor_ms:.1f} ms "
             f"put+launch+fetch tunnel floor: {net_hits}/{n_stream} hits, "
             f"p50 {np.percentile(net_ms, 50):.1f} ms)")
-        # config #5 (full 4-camera line sim) lives in examples/line_simulation.py
 
+    phase("config #4 done")
+    with guarded("config#5"):
+        # config #5: the full production-line simulation — 4 simulated GigE
+        # cameras -> FrameSet assembly -> batched verdict-shaped detection ->
+        # rejection pulses (examples/line_simulation.py, run short).  Its
+        # batches cross the tunnel, so the raw BPH is tunnel-bound here; the
+        # log reports raw AND net-of-tunnel (PCIe-host-equivalent) BPH
+        # against the 90k target, plus the measured tunnel rate for context.
+        import contextlib
+        sys.path.insert(0, REPO)
+        from examples.line_simulation import main as line_main
+        with contextlib.redirect_stdout(sys.stderr):
+            bph, p99_ms, detail = line_main(6.0, 8, return_detail=True)
+        net_bph = detail["net_bph"]
+        log(f"config#5 line sim: {bph:,.0f} BPH raw through the tunnel "
+            f"(H2D {detail['h2d_mb_s']:.0f} MB/s), {net_bph:,.0f} BPH net "
+            f"of tunnel transfer ({'PASS' if net_bph >= 90000 else 'below'} "
+            f"the 90k target); per-bottle p99 {p99_ms:.2f} ms "
+            f"({'PASS' if p99_ms < 10 else 'above'} the 10 ms deadline, "
+            f"net p99 {detail['net_p99_ms']:.2f} ms)")
+
+    phase("config #5 done")
     with guarded("2MP design point"):
         # --- design-point detail: 1920x1080 (the reference's 4x Basler 2MP
         # cameras) through the band-tiled Pallas CCL path -------------------
@@ -317,8 +464,9 @@ def main():
             # made earlier 2MP numbers irreproducible (VERDICT r1 #5): at
             # b2=16 the floor alone adds 1.5 ms/frame, at 128 it's 0.19.
             b2 = 128
-            big = make_frames(b2, 1080, 1920, seed=2)
-            xbig = jax.device_put(big, dev)
+            xbig = synth_frames_device(scene_params(b2, 1080, 1920, seed=2),
+                                       1080, 1920)
+            np.asarray(xbig[0, 0, 0])
             args2 = (xbig, jnp.int32(15), jnp.float32(3.0), jnp.float32(3000.0),
                      jnp.float32(0.25))
             run2 = lambda: contamination_program(*args2, ccl_sweeps=6,  # noqa: E731
@@ -332,11 +480,38 @@ def main():
                 infl.append(run2()[2])
             np.asarray(infl[-1][0, 0])
             dt2 = time.perf_counter() - t1
-            del infl
+            del infl, xbig
             log(f"design-point 1920x1080 tiled detect: {b2*it2/dt2:.1f} fps "
                 f"({dt2/it2/b2*1000:.2f} ms/frame wall; est device "
                 f"{(dt2/it2*1000-24)/b2:.2f} ms/frame net of launch overhead; "
                 f"line needs 100 fps = 4 cams x 25)")
+    cache_seen = _cache_delta(cache_seen, "configs #4-#5 + 2MP")
+
+    del x_dev
+
+    phase("2MP done")
+    with guarded("h2d-secondary"):
+        # --- tunnel-bound last: end-to-end including fresh H2D per batch.
+        # In this environment the TPU sits behind a network tunnel
+        # (~20-150 MB/s day to day), so this measures the tunnel, not the
+        # chip; recorded for transparency, with the implied tunnel rate.
+        nh = 128
+        small = make_frames(nh)
+        lat2 = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            x2 = jax.device_put(small, dev)
+            a, _ = run(x2)
+            np.asarray(a[0, 0])
+            lat2.append(time.perf_counter() - t1)
+            del x2, a
+        lat2_ms = np.asarray(lat2) * 1000
+        p50 = np.percentile(lat2_ms, 50)
+        e2e_fps = nh / (p50 / 1000.0)
+        log(f"with per-batch H2D through the tunnel ({nh} frames/put): "
+            f"{e2e_fps:.1f} frames/sec (p50 {p50:.1f} ms/batch; implied "
+            f"tunnel rate {small.nbytes/1e6/(p50/1000):.0f} MB/s — this "
+            f"line measures the tunnel, not the chip)")
 
 
 if __name__ == "__main__":

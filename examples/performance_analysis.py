@@ -7,8 +7,18 @@ multi-format performance report.
 """
 
 import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-import numpy as np
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _REPO)
+
+# Persistent compilation cache: without it every run recompiles the
+# detector from scratch (~25 s unloaded, 300+ s under suite-level
+# contention — the round-2 CI replay's one red test).
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  _os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
 
 from heimdall_tpu.camera.hal import CameraFactory
 from heimdall_tpu.detectors.contamination_detector import (
