@@ -78,7 +78,8 @@ def test_defect_parity_vs_reference(ref_detector_cls, config):
                 assert match is not None, f"no reference match for {d}"
                 unmatched.remove(match)
                 assert abs(d.size - match.size) < 1e-6, (d.size, match.size)
-                assert abs(d.confidence - match.confidence) <= 0.02
+                assert abs(d.confidence - match.confidence) <= 1e-6, (
+                    d.confidence, match.confidence)
                 assert tuple(d.metadata["bounding_box"]) == \
                     tuple(match.metadata["bounding_box"])
     finally:
@@ -114,6 +115,41 @@ def test_self_touching_outline_parity(ref_detector_cls):
                         sorted(want, key=lambda d: d.position)):
             assert d.position == w.position
             assert abs(d.size - w.size) < 1e-6, (d.size, w.size)
-            assert abs(d.confidence - w.confidence) <= 0.02
+            assert abs(d.confidence - w.confidence) <= 1e-6, (
+                d.confidence, w.confidence)
+    finally:
+        logging.disable(logging.NOTSET)
+
+
+def test_holed_blob_confidence_parity(ref_detector_cls):
+    """Blobs with interior holes: the reference scores intensity/color over
+    drawContours-FILLED masks (contamination_detector.py:117-163), so the
+    device path must score over hole-filled components, not the raw mask.
+    A thick dark ring (hole survives the 3x3 close) is the adversarial
+    case; confidence must match to float32 rounding."""
+    import logging
+    logging.disable(logging.CRITICAL)
+    try:
+        img = np.full((200, 260, 3), 220, np.uint8)
+        yy, xx = np.ogrid[:200, :260]
+        d2 = (yy - 100) ** 2 + (xx - 130) ** 2
+        img[(d2 <= 22 * 22) & (d2 >= 9 * 9)] = (25, 25, 25)
+        d2b = (yy - 60) ** 2 + (xx - 60) ** 2
+        img[(d2b <= 15 * 15) & (d2b >= 6 * 6)] = (30, 30, 30)
+
+        cfg = {"max_contaminant_size": 100000}
+        ref = ref_detector_cls(config=dict(cfg))
+        from heimdall_tpu.detectors.contamination_detector import (
+            ContaminationDetector)
+        mine = ContaminationDetector(config=dict(cfg))
+        want = ref.detect(img.copy())
+        got = mine.detect(img.copy())
+        assert len(got) == len(want) >= 2
+        for g in got:
+            m = [w for w in want if w.position == g.position]
+            assert m, f"no reference blob at {g.position}"
+            assert abs(g.size - m[0].size) < 1e-6
+            assert abs(g.confidence - m[0].confidence) <= 1e-6, (
+                g.confidence, m[0].confidence)
     finally:
         logging.disable(logging.NOTSET)
