@@ -196,7 +196,18 @@ def make_sharded_inspection_step(mesh: Mesh, max_blobs: int = 64,
 
         sp_idx = jax.lax.axis_index("spatial")
         nl = frames.shape[0]
-        chunk = nl // n_sp
+        # ceil-split: when the per-data-shard batch is smaller than the
+        # spatial axis (the latency-shaped case — few frames, 2MP each),
+        # pad the gathered batch so every spatial member still labels a
+        # static-shape chunk; padded all-zero frames produce empty blob
+        # tables and are trimmed after the row gather below.
+        chunk = -(-nl // n_sp)
+        if chunk * n_sp != nl:
+            def pad_rows(a):
+                return jnp.pad(a, [(0, chunk * n_sp - nl)]
+                               + [(0, 0)] * (a.ndim - 1))
+            gray, binary = pad_rows(gray), pad_rows(binary)
+            color = pad_rows(color) if color is not None else None
         start = sp_idx * chunk
         gray_c = jax.lax.dynamic_slice_in_dim(gray, start, chunk, axis=0)
         binary_c = jax.lax.dynamic_slice_in_dim(binary, start, chunk, axis=0)
@@ -213,9 +224,11 @@ def make_sharded_inspection_step(mesh: Mesh, max_blobs: int = 64,
         accepted = (table.valid & (table.area >= mins)
                     & (table.area <= maxs) & (conf >= minc))
 
-        # Re-assemble the full local batch of tables on every spatial member.
+        # Re-assemble the full local batch of tables on every spatial member
+        # (trimming any ceil-split padding rows).
         def gather_rows(a):
-            return jax.lax.all_gather(a, "spatial", axis=0, tiled=True)
+            g = jax.lax.all_gather(a, "spatial", axis=0, tiled=True)
+            return g[:nl] if g.shape[0] != nl else g
         table = jax.tree.map(gather_rows, table)
         conf = gather_rows(conf)
         accepted = gather_rows(accepted)
