@@ -205,6 +205,14 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
 
+    # First device round-trip as its own phase: the tunnel sometimes takes
+    # minutes to grant the device / answer the first RPC (observed 0.5 s
+    # to 12 min run to run) — time it separately so that stall is never
+    # misattributed to compilation or synthesis.
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda: jnp.zeros((8, 128)).sum())())
+    log(f"first device round-trip: {time.perf_counter()-t0:.2f}s")
+
     cache_seen = _cache_snapshot()
     t0 = time.perf_counter()
     x_dev = synth_frames_device(scene_params(batch))
