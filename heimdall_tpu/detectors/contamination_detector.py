@@ -185,14 +185,16 @@ class ContaminationDetector(DefectDetector):
         # check certifies convergence).
         self.ccl_adaptive = self.config.get("ccl_adaptive", True)
         # Truncated scan ladders inside the fused adaptive kernels: each
-        # CCL phase propagates labels <= 2^6 = 64 columns instead of
+        # CCL phase propagates labels <= 2^5 = 32 columns instead of
         # run-wide.  Results are IDENTICAL (the in-kernel fixpoint
         # certificate keeps sweeping until converged — measured equal on
         # the bench scene); typical scenes trade a rare extra sweep for
-        # ~12 fewer shift/min ops in every phase (~8% whole-path win on
-        # v5e).  None = full-width scans; ignored when ccl_adaptive is
-        # off (no certificate to lean on).
-        scan_steps = self.config.get("ccl_scan_steps", 6)
+        # fewer shift/min ops in every phase.  r3 variant sweep on v5e
+        # (whole label kernel, us/frame): ss6 142.4, ss5 135.0, ss4 134.9
+        # with the 3-phase adaptive unit — 5 keeps an extra doubling of
+        # reach for ~nothing.  None = full-width scans; ignored when
+        # ccl_adaptive is off (no certificate to lean on).
+        scan_steps = self.config.get("ccl_scan_steps", 5)
         if scan_steps is not None and scan_steps < 1:
             # 0/negative would truncate every scan ladder to nothing,
             # leaving only 1-px neighbor-min propagation — still correct

@@ -121,11 +121,24 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             return phase(v, rb_r, fg)
 
         if to_fixpoint:
+            # 3-phase adaptive unit (row, col, row): the certificate makes
+            # the unit a pure speed knob, and the r3 variant sweep on v5e
+            # measured the 3-phase unit ~6-11% faster end-to-end than
+            # sweep2's 4 phases (labels identical) — small convex blobs
+            # converge in row,col,row, so sweep2's second col phase is
+            # overhead for the typical band.
+            def unit3(v):
+                v = phase(v, rb_r, fg)
+                vt = jnp.transpose(v)
+                vt = phase(vt, rb_t, fg_t)
+                v = jnp.transpose(vt)
+                return phase(v, rb_r, fg)
+
             def cond(c):
                 return c[1] > 0
 
             def bodyw(c):
-                v = sweep2(c[0])
+                v = unit3(c[0])
                 nm = jnp.where(fg > 0, _neighbor_min(v, ls, connectivity),
                                ls)
                 return v, jnp.max(jnp.where(nm < v, 1, 0))

@@ -261,11 +261,27 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False, scan_steps=None):
     # (min-with-self never increases) — i.e. labels are constant per
     # component, so the check certifies FULL convergence for ~4 shifts,
     # a rounding error next to a sweep's ~40.  Exact for any geometry.
+    #
+    # The adaptive unit is 3 phases (row, col, row), not sweep2's 4: the
+    # certificate makes the unit a pure speed knob, and the r3 variant
+    # sweep on v5e measured (labels identical on the bench scene):
+    #   4ph ss6 150.9 | 3ph ss6 142.4 | 4ph ss5 158.9 | 3ph ss5 135.0
+    # us/frame for the whole label kernel — small convex blobs converge
+    # in row,col,row (the col run covering the topmost row's min spans
+    # the blob), so the second col phase is pure overhead for the
+    # typical frame and the tail pays one more (cheaper) unit.
+    def unit3(l):
+        l = phase(l, rb_r, fg)
+        lt = jnp.transpose(l)
+        lt = phase(lt, rb_t, fg_t)
+        l = jnp.transpose(lt)
+        return phase(l, rb_r, fg)
+
     def cond(carry):
         return carry[1] > 0
 
     def body(carry):
-        lab = sweep2(carry[0])
+        lab = unit3(carry[0])
         nm = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
         changed = jnp.max(jnp.where(nm < lab, 1, 0))
         return lab, changed
