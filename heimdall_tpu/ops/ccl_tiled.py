@@ -108,9 +108,10 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
         rb_r = _run_pack(fg, big)
         rb_t = _run_pack(fg_t, big)
 
-        def phase(v, rb, f):
+        def phase(v, rb, f, ss=None):
             v = jnp.where(f > 0, _neighbor_min(v, ls, connectivity), ls)
-            return jnp.where(f > 0, _run_min_packed(v, rb), ls)
+            return jnp.where(f > 0, _run_min_packed(v, rb, max_steps=ss),
+                             ls)
 
         def sweep2(v):
             v = phase(v, rb_r, fg)
@@ -126,13 +127,16 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             # measured the 3-phase unit ~6-11% faster end-to-end than
             # sweep2's 4 phases (labels identical) — small convex blobs
             # converge in row,col,row, so sweep2's second col phase is
-            # overhead for the typical band.
+            # overhead for the typical band.  Scan ladders truncate to
+            # 2^5 = 32 reach (the full row ladder is 11 doubling steps at
+            # W=1920): same certificate-protected trade as the whole-frame
+            # kernel, which measured ss5 ~5% faster than ss6 end-to-end.
             def unit3(v):
-                v = phase(v, rb_r, fg)
+                v = phase(v, rb_r, fg, ss=5)
                 vt = jnp.transpose(v)
-                vt = phase(vt, rb_t, fg_t)
+                vt = phase(vt, rb_t, fg_t, ss=5)
                 v = jnp.transpose(vt)
-                return phase(v, rb_r, fg)
+                return phase(v, rb_r, fg, ss=5)
 
             def cond(c):
                 return c[1] > 0
