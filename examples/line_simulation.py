@@ -36,8 +36,14 @@ def main(duration_s: float = 10.0, sets_per_batch: int = 8,
     system.configure()
     system.start()
 
+    # Mono8 frames take the fused Pallas kernel directly on accelerators
+    # (gray input: no channel relayout, color sums skipped in-kernel);
+    # CPU test runs keep the XLA ops composition.
+    import jax
+    backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     detector = ContaminationDetector(config={"include_contours": False,
-                                             "use_color": False})
+                                             "use_color": False,
+                                             "backend": backend})
     rejector = RejectionController(delay_ms=100, pulse_duration_ms=50)
     latency_ms = SlidingWindow(1000)
 

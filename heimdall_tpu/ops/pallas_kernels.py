@@ -491,61 +491,169 @@ def _make_stats_kernel(H, W, K):
     return kernel
 
 
+def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
+                       scan_steps=None):
+    """Single fused kernel: preprocess + fill + CCL + per-blob stats in
+    ONE invocation per frame — no label plane ever touches HBM (saves
+    the int32 [B, H, W] round-trip of the two-kernel split and, at large
+    batches, its 1.2 MB/frame of HBM residency).
+
+    C = 3 (BGR channel-major) or 1 (Mono8): grayscale frames skip the
+    BT.601 mix AND the per-slot b/g/r sums (5 instead of 8 stat
+    reductions, 1 instead of 4 bbox-window sums — the reference scores
+    color 0.5 on gray input, detectors/contamination_detector.py:157).
+    """
+    sentinel = H * W
+    taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
+    k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
+    ph = 1 << math.ceil(math.log2(max(H, 2)))
+    pw = 1 << math.ceil(math.log2(max(W, 2)))
+    with_color = C == 3
+
+    def kernel(ct_ref, frame_ref, sums_ref, bbox_ref, bgsum_ref, meta_ref):
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        if with_color:
+            b = frame_ref[0, 0].astype(jnp.int32)
+            g = frame_ref[0, 1].astype(jnp.int32)
+            r = frame_ref[0, 2].astype(jnp.int32)
+            gray = (b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15
+        else:
+            gray = frame_ref[0, 0].astype(jnp.int32)
+            b = g = r = gray
+        acc = _conv_axis(_conv_axis(gray, taps5, 1, "reflect101"),
+                         taps5, 0, "reflect101")
+        blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
+        mf = _conv_axis(_conv_axis(blurred.astype(jnp.float32), k11, 1,
+                                   "replicate"), k11, 0, "replicate")
+        mean = jnp.rint(mf).astype(jnp.int32)
+        binary = jnp.where(blurred <= mean - ct_ref[0], 255, 0)
+        binary = _minmax3(_minmax3(binary, True), False)    # open
+        binary = _minmax3(_minmax3(binary, False), True)    # close
+        fg0 = (binary > 0).astype(jnp.int32)
+
+        border = ((row_idx == 0) | (row_idx == H - 1)
+                  | (col_idx == 0) | (col_idx == W - 1)).astype(jnp.int32)
+        fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
+        lin = row_idx * W + col_idx
+        lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg, sentinel,
+                          sweeps, adaptive=adaptive, scan_steps=scan_steps)
+
+        # ---- per-blob stats (lab/fg still in VMEM registers) ----
+        is_root = (fg > 0) & (lab == lin)
+        root_lin = jnp.where(is_root, lin, sentinel)
+        n_blobs = jnp.sum(is_root.astype(jnp.int32))
+
+        nb4 = (_shift(fg, 1, 0) + _shift(fg, -1, 0)
+               + _shift(fg, 1, 1) + _shift(fg, -1, 1))
+        boundary = ((fg > 0) & (nb4 < 4)).astype(jnp.int32)
+
+        xpack = col_idx * ph + row_idx
+        ypack = row_idx * pw + col_idx
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (N_SUMS, K), 1)
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, K), 1)
+
+        def slot_body(k, carry):
+            sums, bboxes, bgsums, prev = carry
+            root_label = jnp.min(jnp.where(root_lin > prev, root_lin,
+                                           sentinel))
+            m = (lab == root_label) & (root_label < sentinel)
+            mi = m.astype(jnp.int32)
+            zero = jnp.zeros((1, 1), jnp.int32)
+            stat_col = jnp.concatenate([
+                jnp.sum(mi).reshape(1, 1),
+                jnp.sum(mi * boundary).reshape(1, 1),
+                jnp.sum(mi * col_idx).reshape(1, 1),
+                jnp.sum(mi * row_idx).reshape(1, 1),
+                jnp.sum(mi * gray).reshape(1, 1),
+            ] + ([jnp.sum(mi * b).reshape(1, 1),
+                  jnp.sum(mi * g).reshape(1, 1),
+                  jnp.sum(mi * r).reshape(1, 1)] if with_color
+                 else [zero, zero, zero]), axis=0)           # [8, 1]
+            sums = sums + jnp.where(lane8 == k, stat_col, 0)
+
+            xp_min = jnp.min(jnp.where(m, xpack, jnp.int32(1 << 30)))
+            xp_max = jnp.max(jnp.where(m, xpack, -1))
+            yp_max = jnp.max(jnp.where(m, ypack, -1))
+            x0 = xp_min // ph
+            x1 = xp_max // ph
+            y0 = root_label // W             # root = first raster pixel
+            y1 = yp_max // pw
+            bbox_col = jnp.concatenate(
+                [x0.reshape(1, 1), y0.reshape(1, 1),
+                 x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)
+            bboxes = jnp.where(lane4 == k, bbox_col, bboxes)
+
+            in_box = ((row_idx >= y0) & (row_idx <= y1)
+                      & (col_idx >= x0) & (col_idx <= x1)).astype(jnp.int32)
+            bg_col = jnp.concatenate(
+                [jnp.sum(in_box * gray).reshape(1, 1)]
+                + ([jnp.sum(in_box * b).reshape(1, 1),
+                    jnp.sum(in_box * g).reshape(1, 1),
+                    jnp.sum(in_box * r).reshape(1, 1)] if with_color
+                   else [zero, zero, zero]), axis=0)
+            bgsums = bgsums + jnp.where(lane4 == k, bg_col, 0)
+            return sums, bboxes, bgsums, root_label
+
+        sums, bboxes, bgsums, _ = jax.lax.fori_loop(
+            0, jnp.minimum(n_blobs, K), slot_body,
+            (jnp.zeros((N_SUMS, K), jnp.int32),
+             jnp.zeros((4, K), jnp.int32),
+             jnp.zeros((4, K), jnp.int32),
+             jnp.int32(-1)))
+        sums_ref[0] = sums
+        bbox_ref[0] = bboxes
+        bgsum_ref[0] = bgsums
+        meta_ref[0] = jnp.full((1, 1), n_blobs, jnp.int32)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
                                              "interpret", "adaptive",
-                                             "scan_steps"))
+                                             "scan_steps", "channel_major"))
 def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          max_blobs: int = 64, sweeps: int = 6,
                          interpret: bool = False, adaptive: bool = False,
-                         scan_steps=None):
-    """Run the fused two-kernel pipeline over a [B, H, W, 3] uint8 batch.
+                         scan_steps=None, channel_major: bool = False):
+    """Run the fused single-kernel pipeline over a uint8 batch.
 
-    Kernel A labels (VMEM-resident preprocess + fill + CCL, one uint8
-    bid plane to HBM per frame); kernel B reduces per-blob statistics.
+    Accepted input forms:
+      [B, H, W, 3]  BGR (transposed to channel-major internally — costs a
+                    ~0.9 MB/frame relayout per call),
+      [B, 3, H, W]  BGR with channel_major=True (the production feeder
+                    layout: camera stacks deliver planes, so channel-major
+                    assembly is free host-side and no relayout is paid),
+      [B, H, W]     Mono8 grayscale (no relayout either; color sums are
+                    skipped in-kernel, color_score is 0.5 downstream as in
+                    the reference).
+
     Returns raw per-frame outputs:
       sums   i32 [B, 8, K]  (ones, boundary, x, y, gray, b, g, r)
       bbox   i32 [B, 4, K]  (x0, y0, x1, y1 — inclusive; invalid slots 0)
       bgsum  i32 [B, 4, K]  (bbox-sums of gray, b, g, r)
       n      i32 [B]        true blob count
     """
-    B, H, W, _ = frames.shape
+    if frames.ndim == 3:                       # Mono8 [B, H, W]
+        B, H, W = frames.shape
+        C = 1
+        cm = frames[:, None]
+    elif channel_major:                        # [B, 3, H, W]
+        B, C, H, W = frames.shape
+        cm = frames
+    else:                                      # [B, H, W, 3]
+        B, H, W, C = frames.shape
+        cm = jnp.transpose(frames, (0, 3, 1, 2))
     K = max_blobs
-    cm = jnp.transpose(frames, (0, 3, 1, 2))   # channel-major for tiling
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
 
-    label_kernel = _make_label_kernel(H, W, K, sweeps, adaptive=adaptive,
-                                      scan_steps=scan_steps)
-    gs_a = pltpu.PrefetchScalarGridSpec(
+    kernel = _make_fused_kernel(H, W, K, C, sweeps, adaptive=adaptive,
+                                scan_steps=scan_steps)
+    gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, H, W), lambda i, c: (i, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, C, H, W), lambda i, c: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((1, H, W), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    lab = pl.pallas_call(
-        label_kernel,
-        grid_spec=gs_a,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
-        ),
-        interpret=interpret,
-    )(ct, cm)[0]
-
-    stats_kernel = _make_stats_kernel(H, W, K)
-    gs_b = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 3, H, W), lambda i, c: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=[
             pl.BlockSpec((1, N_SUMS, K), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -558,8 +666,8 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
         ],
     )
     sums, bbox, bgsum, meta = pl.pallas_call(
-        stats_kernel,
-        grid_spec=gs_b,
+        kernel,
+        grid_spec=gs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=(
@@ -569,14 +677,14 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(ct, cm, lab)
+    )(ct, cm)
     return sums, bbox, bgsum, meta[:, 0, 0]
 
 
 def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
                       use_color: bool = True, sweeps: int = 6,
                       interpret: bool = False, adaptive: bool = False,
-                      scan_steps=None):
+                      scan_steps=None, channel_major: bool = False):
     """Fused-kernel equivalent of ops.blobs.blob_stats for the
     contamination pipeline: runs the kernel and assembles a BlobTable
     (same field semantics as the XLA path — tests/test_pallas_kernels.py
@@ -584,9 +692,15 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
     import jax.numpy as jnp
     from heimdall_tpu.ops.blobs import BlobTable
 
+    is_gray = frames.ndim == 3 or (channel_major and frames.shape[1] == 1)
+    if is_gray:
+        # grayscale input: the kernel skips color sums; the reference
+        # scores color 0.5 on gray frames
+        use_color = False
     sums, bbox, bgsum, n_blobs = contamination_pallas(
         frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
-        interpret=interpret, adaptive=adaptive, scan_steps=scan_steps)
+        interpret=interpret, adaptive=adaptive, scan_steps=scan_steps,
+        channel_major=channel_major)
 
     area_px = sums[:, S_ONES]
     valid = area_px > 0
@@ -636,14 +750,15 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
 @functools.partial(jax.jit, static_argnames=("max_blobs", "use_color",
                                              "formula", "sweeps",
                                              "interpret", "adaptive",
-                                             "scan_steps"))
+                                             "scan_steps", "channel_major"))
 def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 max_size, min_confidence,
                                 max_blobs: int = 64, use_color: bool = True,
                                 formula: str = "python", sweeps: int = 6,
                                 interpret: bool = False,
                                 adaptive: bool = False,
-                                scan_steps=None):
+                                scan_steps=None,
+                                channel_major: bool = False):
     """One-dispatch detection: fused kernels + confidence + gating.
 
     Returns (BlobTable, confidence [B,K], accepted [B,K]) — the same
@@ -656,7 +771,8 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
     table = pallas_blob_table(frames, contrast_threshold,
                               max_blobs=max_blobs, use_color=use_color,
                               sweeps=sweeps, interpret=interpret,
-                              adaptive=adaptive, scan_steps=scan_steps)
+                              adaptive=adaptive, scan_steps=scan_steps,
+                              channel_major=channel_major)
     conf = (blobs_mod.confidence_native(table) if formula == "native"
             else blobs_mod.confidence_python(table))
     accepted = (table.valid

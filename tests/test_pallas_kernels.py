@@ -60,13 +60,46 @@ def test_pallas_matches_xla(seed):
                                   np.asarray(t_xla.n_blobs))
 
 
-def test_pallas_grayscale_input_rejected():
-    """The fused kernel is BGR-only; the detector falls back to XLA for
-    grayscale inputs."""
-    frames = jnp.asarray(np.zeros((1, 64, 128), np.uint8))
-    with pytest.raises(Exception):
-        pallas_blob_table(frames, 15,
-                          interpret=jax.default_backend() == "cpu")
+def test_pallas_grayscale_matches_xla():
+    """Mono8 [B, H, W] input runs the fused kernel directly (production
+    cameras are grayscale — rust/heimdall-gige/src/camera.rs:48-68): no
+    channel relayout, color sums skipped in-kernel, color_score 0.5 as in
+    the reference (contamination_detector.py:157)."""
+    interpret = jax.default_backend() == "cpu"
+    gray = _frames(n=2, h=64, w=128, seed=9)[..., 0]
+    t_pl = pallas_blob_table(jnp.asarray(gray), 15, max_blobs=16,
+                             sweeps=2, adaptive=True, scan_steps=5,
+                             interpret=interpret)
+    t_xla, _, _ = contamination_program(
+        jnp.asarray(gray), jnp.int32(15), jnp.float32(0.0),
+        jnp.float32(1e9), jnp.float32(0.0), max_blobs=16, ccl_sweeps=6)
+    for fld in ("valid", "area", "area_px", "cx", "cy", "x", "y", "w",
+                "h", "color_score"):
+        np.testing.assert_array_equal(np.asarray(getattr(t_pl, fld)),
+                                      np.asarray(getattr(t_xla, fld)))
+    np.testing.assert_allclose(np.asarray(t_pl.intensity_score),
+                               np.asarray(t_xla.intensity_score),
+                               atol=1e-5)
+    valid = np.asarray(t_pl.valid)
+    assert valid.any()
+    assert (np.asarray(t_pl.color_score)[valid] == 0.5).all()
+
+
+def test_pallas_channel_major_matches_nhwc():
+    """[B, 3, H, W] input with channel_major=True (the production feeder
+    layout — no per-call relayout) is bit-identical to NHWC."""
+    interpret = jax.default_backend() == "cpu"
+    frames = jnp.asarray(_frames(n=2, h=64, w=128, seed=11))
+    t_a = pallas_blob_table(frames, 15, max_blobs=16, sweeps=2,
+                            adaptive=True, scan_steps=5,
+                            interpret=interpret)
+    t_b = pallas_blob_table(jnp.transpose(frames, (0, 3, 1, 2)), 15,
+                            max_blobs=16, sweeps=2, adaptive=True,
+                            scan_steps=5, interpret=interpret,
+                            channel_major=True)
+    for fld in t_a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(t_a, fld)),
+                                      np.asarray(getattr(t_b, fld)))
 
 
 @pytest.mark.parametrize("h,w", [(48, 96), (64, 100), (56, 72)])
