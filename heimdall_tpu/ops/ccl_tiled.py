@@ -791,10 +791,6 @@ def _make_flood_kernel(Th, W, n_bands):
                        | jnp.where(row_i == Th - 1,
                                    jnp.tile(bot, (Th, 1)), 0)) & bg
 
-        bg_t = jnp.transpose(bg)
-        rb_r = _run_pack(bg, 2)
-        rb_t = _run_pack(bg_t, 2)
-
         def grow4(e, b):
             g = e
             for s, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
@@ -806,8 +802,16 @@ def _make_flood_kernel(Th, W, n_bands):
 
         # finer adaptive granularity than the CCL's double sweep: the
         # flood usually completes in 2-3 phases (see pallas_kernels
-        # _fill_holes_sweeps)
+        # _fill_holes_sweeps).  The run-pack matmuls and the bg transpose
+        # live INSIDE the loop body: on certify rounds (the driver re-runs
+        # every band until a whole round is a no-op, and the no-op round
+        # starts with pending == 0) the loop never executes, so those
+        # rounds pay only the loads, the pending check, and the edge/flag
+        # writes — not the scan setup.
         def sweep1(e):
+            bg_t = jnp.transpose(bg)
+            rb_r = _run_pack(bg, 2)
+            rb_t = _run_pack(bg_t, 2)
             e = phase(e, rb_r, bg)
             et = jnp.transpose(e)
             et = phase(et, rb_t, bg_t)
