@@ -232,7 +232,7 @@ def main():
     frame1 = np.asarray(x_dev[:1])               # host, configs #1/#4
     x_cm = jnp.transpose(x_dev, (0, 3, 1, 2))
     np.asarray(x_cm[0, 0, 0, 0])
-    del x_cm, x_small
+    del x_dev
     phase("synthesis done")
 
     det = ContaminationDetector(config={

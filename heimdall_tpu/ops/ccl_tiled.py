@@ -506,11 +506,34 @@ def _merge_prep(labels, band, connectivity, sentinel, iters,
     n_marks = jnp.sum(mark, axis=-1)
 
     def small_branch(_):
+        # Compact the <= _SMALL_CAP marked edges by successive index
+        # minima: C iterations of three [B, E] reductions instead of a
+        # stable argsort over the full edge table (XLA sorts on [B, ~15K]
+        # rows cost ~10x the reductions on TPU; same reason the roots
+        # kernels use successive minima over prefix-sum ranking).
         C = _SMALL_CAP
-        order = jnp.argsort(~mark, axis=-1, stable=True)[:, :C]
-        keep = jnp.take_along_axis(mark, order, axis=-1)
-        a_c = jnp.where(keep, jnp.take_along_axis(lo0, order, axis=-1), big)
-        b_c = jnp.where(keep, jnp.take_along_axis(hi0, order, axis=-1), big)
+        E = lo0.shape[-1]
+        Bn = lo0.shape[0]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (Bn, E), 1)
+        key = jnp.where(mark, idx, big)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bn, C), 1)
+
+        def slot(k, carry):
+            at, bt, prev = carry
+            kidx = jnp.min(jnp.where(key > prev[:, None], key, big),
+                           axis=-1)                             # [B]
+            hit = idx == kidx[:, None]
+            av = jnp.min(jnp.where(hit, lo0, big), axis=-1)
+            bv = jnp.min(jnp.where(hit, hi0, big), axis=-1)
+            at = jnp.where(lane == k, av[:, None], at)
+            bt = jnp.where(lane == k, bv[:, None], bt)
+            return at, bt, kidx
+
+        a_c, b_c, _ = jax.lax.fori_loop(
+            0, jnp.minimum(jnp.max(n_marks), C), slot,
+            (jnp.full((Bn, C), big, jnp.int32),
+             jnp.full((Bn, C), big, jnp.int32),
+             jnp.full((Bn,), -1, jnp.int32)))
         u = jnp.sort(jnp.concatenate([a_c, b_c], axis=-1), axis=-1)
         roots = _resolve_small(u, a_c, b_c)
         roots = jnp.where(u < big, roots, u)
