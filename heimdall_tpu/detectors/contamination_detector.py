@@ -225,6 +225,10 @@ class ContaminationDetector(DefectDetector):
         channel-major assembly is free host-side and the fused kernel
         skips a ~0.9 MB/frame relayout per call)."""
         images = jnp.asarray(images)
+        if channel_major and (images.ndim != 4
+                              or images.shape[1] not in (1, 3)):
+            raise ValueError(
+                f"channel_major expects [N, 1|3, H, W], got {images.shape}")
         if images.dtype == jnp.uint16:
             # Mono10/12/16 cameras: use the high byte (the reference's
             # pipeline operates on 8-bit data throughout)
@@ -243,7 +247,7 @@ class ContaminationDetector(DefectDetector):
         fits_vmem = 0 < frame_px <= 400_000
         pallas_shape = (images.ndim == 3            # Mono8
                         or (images.ndim == 4
-                            and (images.shape[1] == 3 if channel_major
+                            and (images.shape[1] in (1, 3) if channel_major
                                  else images.shape[-1] == 3)))
         if (self.backend == "pallas" and not return_labels and fits_vmem
                 and pallas_shape):
@@ -280,7 +284,8 @@ class ContaminationDetector(DefectDetector):
         on_accel = jax.default_backend() != "cpu"
         tiled_band = 256 if on_accel else 0
         if channel_major and images.ndim == 4:
-            images = jnp.transpose(images, (0, 2, 3, 1))
+            images = (images[:, 0] if images.shape[1] == 1
+                      else jnp.transpose(images, (0, 2, 3, 1)))
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),
