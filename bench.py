@@ -196,14 +196,13 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} (backend init {time.perf_counter()-t0:.2f}s)")
 
-    # batch 4096: the tunnel charges ~24 ms of overhead per executable
-    # launch on the EXECUTION timeline regardless of batch size — even
-    # fully pipelined, 20 back-to-back tiny programs take 20 x 24 ms
-    # (scripts/profile_dispatch.py) — so the headline batch amortizes it
-    # (5.9 us/frame at 4096 vs 11.7 at 2048); device compute per frame is
-    # flat from 256 up, and the fused single kernel leaves the label
-    # plane out of HBM so the resident set is just the input buffer.
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # batch 6144: the tunnel charges tens of ms of per-batch overhead on
+    # the EXECUTION timeline regardless of batch size (scripts/
+    # profile_dispatch.py), so the headline batch amortizes it; the r3
+    # batch scan measured 172.9 us/frame at 4096, 162.5 at 6144, and flat
+    # 162.5-162.8 at 8192 — 6144 is the knee, and the fused single kernel
+    # keeps HBM residency to the input buffer alone.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     backend = sys.argv[3] if len(sys.argv) > 3 else "pallas"
 
