@@ -22,7 +22,16 @@ EOF
 
 echo "== [2/4] test suite (8 virtual CPU devices) =="
 if [[ "${1:-}" != "--quick" ]]; then
-    python -m pytest tests/ -q
+    # Two pytest processes: one process running the whole suite
+    # deterministically SIGSEGVs inside XLA's CPU compiler
+    # (backend_compile_and_load) after ~300 compiled programs, always in
+    # test_stats_tiled — the same tests pass standalone and as a pair
+    # with test_sharding, so it is accumulated compiler state, not test
+    # content. Splitting bounds the per-process compile count well below
+    # the crash point.
+    python -m pytest tests/ -q \
+        --ignore=tests/test_sharding.py --ignore=tests/test_stats_tiled.py
+    python -m pytest tests/test_sharding.py tests/test_stats_tiled.py -q
 else
     python -m pytest tests/test_core.py tests/test_runtime.py -q
 fi
