@@ -180,9 +180,11 @@ def _run_min_packed(v, rb, fill=1 << 30, max_steps=None):
     return _min_scan_plain(v + rb, 1, True, fill, max_steps) - rb
 
 
-def _max_scan_plain(v, axis, reverse, fill):
+def _max_scan_plain(v, axis, reverse, fill, max_steps=None):
     size = v.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
+    if max_steps is not None:
+        steps = min(steps, max_steps)
     d = 1
     sgn = 1 if not reverse else -1
     for _ in range(steps):
@@ -191,12 +193,13 @@ def _max_scan_plain(v, axis, reverse, fill):
     return v
 
 
-def _run_or_packed(f, rb):
+def _run_or_packed(f, rb, max_steps=None):
     """Per-run OR broadcast to the whole run (f in {0,1}): max-scans over
     packed keys (earlier runs' keys must be smaller forward, larger
-    backward)."""
-    f = _max_scan_plain(f + rb, 1, False, -(1 << 30)) - rb
-    return _max_scan_plain(f - rb, 1, True, -(1 << 30)) + rb
+    backward).  max_steps truncates reach (certificate-protected callers
+    only)."""
+    f = _max_scan_plain(f + rb, 1, False, -(1 << 30), max_steps) - rb
+    return _max_scan_plain(f - rb, 1, True, -(1 << 30), max_steps) + rb
 
 
 # ---------------------------------------------------------------------------
@@ -309,18 +312,25 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
                                          dx, 1, 0)
         return grown & b
 
-    def phase(e, rb, b):
-        return _run_or_packed(grow4(e, b), rb) & b
+    def phase(e, rb, b, ms=None):
+        return _run_or_packed(grow4(e, b), rb, max_steps=ms) & b
 
     # One row + one col phase per sweep (2 transposes): the exterior
     # flood usually completes within 2-3 phases, so a FINER adaptive
     # check beats the transpose-halved double sweep the CCL uses —
     # measured on v5e (the double-sweep variant over-ran the fixpoint by
-    # ~4 phases per frame).
+    # ~4 phases per frame).  Ladders are ASYMMETRIC in adaptive mode: the
+    # row phase stays full-width (border seeds must broadcast across
+    # full-width background runs — truncating it measured catastrophic,
+    # 169 vs 134 us/frame), while the col phase truncates to 2^5 = 32
+    # reach (vertical gaps needing flooding are blob-height-deep; the
+    # certificate adds sweeps on the rare deeper geometry).  r3 v5e A/B
+    # on the whole label path: full/full 134.2, col-5 120.0, col-7 139.4
+    # us/frame — labels identical.
     def sweep1(e):
         e = phase(e, rb_r, bg)
         et = jnp.transpose(e)
-        et = phase(et, rb_t, bg_t)
+        et = phase(et, rb_t, bg_t, ms=5 if adaptive else None)
         return jnp.transpose(et)
 
     if not adaptive:
