@@ -485,8 +485,9 @@ def main():
                 contamination_program)
             # batch 128 amortizes the ~24 ms per-launch tunnel overhead that
             # made earlier 2MP numbers irreproducible (VERDICT r1 #5): at
-            # b2=16 the floor alone adds 1.5 ms/frame, at 128 it's 0.19.
-            b2 = 128
+            # b2=16 the floor alone adds 1.5 ms/frame, at 128 it's 0.19,
+            # at 256 it's 0.09.
+            b2 = 256
             xbig = synth_frames_device(scene_params(b2, 1080, 1920, seed=2),
                                        1080, 1920)
             np.asarray(xbig[0, 0, 0])
