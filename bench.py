@@ -381,6 +381,12 @@ def main():
             f"({npre/(pre_ms/1000):.0f} fps)")
     cache_seen = _cache_delta(cache_seen, "configs #1-#2")
 
+    # Free the headline buffers NOW: the 6144-frame channel-major batch is
+    # ~5.7 GB of HBM, and leaving it resident through the 2MP config
+    # (256 x 1080 x 1920 intermediates) ran the chip out of memory
+    # (r3h artifact: RESOURCE_EXHAUSTED on 2MP AND the h2d secondary).
+    del x_cm, x_small
+
     phase("configs #1-#2 done")
     with guarded("config#4"):
         # config #4: file-source acquisition stream at 25 fps feeding inspect,
@@ -487,15 +493,23 @@ def main():
             # made earlier 2MP numbers irreproducible (VERDICT r1 #5): at
             # b2=16 the floor alone adds 1.5 ms/frame, at 128 it's 0.19,
             # at 256 it's 0.09.
-            b2 = 256
-            xbig = synth_frames_device(scene_params(b2, 1080, 1920, seed=2),
-                                       1080, 1920)
-            np.asarray(xbig[0, 0, 0])
-            args2 = (xbig, jnp.int32(15), jnp.float32(3.0), jnp.float32(3000.0),
-                     jnp.float32(0.25))
-            run2 = lambda: contamination_program(*args2, ccl_sweeps=6,  # noqa: E731
-                                                 tiled_band=256)
-            np.asarray(run2()[2][0, 0])
+            from jax.errors import JaxRuntimeError
+            for b2 in (256, 128):
+                xbig = synth_frames_device(
+                    scene_params(b2, 1080, 1920, seed=2), 1080, 1920)
+                np.asarray(xbig[0, 0, 0])
+                args2 = (xbig, jnp.int32(15), jnp.float32(3.0),
+                         jnp.float32(3000.0), jnp.float32(0.25))
+                run2 = lambda: contamination_program(  # noqa: E731
+                    *args2, ccl_sweeps=6, tiled_band=256)
+                try:
+                    np.asarray(run2()[2][0, 0])
+                    break
+                except JaxRuntimeError as e:   # OOM at this batch: halve
+                    if "RESOURCE_EXHAUSTED" not in str(e) or b2 == 128:
+                        raise
+                    log(f"2MP at batch {b2} exhausted HBM; retrying at 128")
+                    del xbig, args2, run2
             # submit all batches, force only the last (in-order execution)
             infl = []
             t1 = time.perf_counter()
@@ -510,8 +524,6 @@ def main():
                 f"{(dt2/it2*1000-24)/b2:.2f} ms/frame net of launch overhead; "
                 f"line needs 100 fps = 4 cams x 25)")
     cache_seen = _cache_delta(cache_seen, "configs #4-#5 + 2MP")
-
-    del x_cm, x_small
 
     phase("2MP done")
     with guarded("h2d-secondary"):
