@@ -495,6 +495,11 @@ def main():
             # at 256 it's 0.09.
             from jax.errors import JaxRuntimeError
             for b2 in (256, 128):
+                # NHWC input (cv2/reference color-image convention).  A/B
+                # r3: feeding pre-transposed planes (channel_major=True)
+                # measured ~2% SLOWER than letting the program fold the
+                # relayout into the banded preprocess, so the bench keeps
+                # the reference layout.
                 xbig = synth_frames_device(
                     scene_params(b2, 1080, 1920, seed=2), 1080, 1920)
                 np.asarray(xbig[0, 0, 0])

@@ -38,7 +38,7 @@ from heimdall_tpu.utils import contours as contours_mod
 
 @partial(jax.jit, static_argnames=("max_blobs", "use_color", "formula",
                                    "return_labels", "ccl_sweeps",
-                                   "tiled_band"))
+                                   "tiled_band", "channel_major"))
 def contamination_program(images: jnp.ndarray,
                           contrast_threshold: jnp.ndarray,
                           min_size: jnp.ndarray,
@@ -49,7 +49,8 @@ def contamination_program(images: jnp.ndarray,
                           formula: str = "python",
                           return_labels: bool = False,
                           ccl_sweeps: int = 0,
-                          tiled_band: int = 0):
+                          tiled_band: int = 0,
+                          channel_major: bool = False):
     """The full batched contamination-detection device program.
 
     Args:
@@ -68,11 +69,25 @@ def contamination_program(images: jnp.ndarray,
         instead of whole-frame XLA scans — the fast path for frames beyond
         the fused kernels' VMEM cap (e.g. the reference's 1920x1080
         cameras).  Label output is identical (tests/test_ccl_tiled.py).
+      channel_major: images is [N, 3, H, W] — the production feeder layout
+        (camera stacks deliver planes).  The tiled path consumes planes
+        natively (no relayout in the program); other paths transpose back.
 
     Returns (table: BlobTable, confidence: [N,K] f32, accepted: [N,K] bool
              [, labels]).
     """
-    color = images if images.ndim == 4 and images.shape[-1] == 3 else None
+    if channel_major:
+        if images.ndim != 4 or images.shape[1] != 3:
+            raise ValueError(
+                f"channel_major expects [N, 3, H, W], got {images.shape}")
+        if tiled_band <= 0:
+            # only the tiled path consumes planes natively; the XLA op
+            # chain (CPU correctness path) works on NHWC
+            images = jnp.transpose(images, (0, 2, 3, 1))
+            channel_major = False
+    is_color = (images.ndim == 4
+                and images.shape[1 if channel_major else -1] == 3)
+    color = images if is_color else None
     interp = jax.default_backend() == "cpu"
     if tiled_band > 0 and color is not None:
         # fused banded preprocess kernel (bit-identical to the op chain
@@ -80,11 +95,25 @@ def contamination_program(images: jnp.ndarray,
         from heimdall_tpu.ops.preprocess_tiled import (
             contamination_preprocess_tiled)
         # preprocess bands are cheaper at 128 rows (measured on v5e);
-        # independent of the CCL band size
+        # independent of the CCL band size.  The whole tiled stack shares
+        # ONE padded channel-major layout: every per-stage pad / unpad /
+        # relayout of a 2MP plane costs 30-100 us/frame of HBM traffic
+        # (measured r3), so the planes are transposed and band-padded
+        # exactly once and every stage runs padded (frame_h contract).
+        band = min(tiled_band, 128)
+        cm = images if channel_major else jnp.transpose(images,
+                                                        (0, 3, 1, 2))
+        H = cm.shape[2]
+        Hp = -(-H // band) * band
         binary, gray = contamination_preprocess_tiled(
-            images, contrast_threshold, band=min(tiled_band, 128),
-            interpret=interp)
+            cm, contrast_threshold, band=band, interpret=interp,
+            channel_major=True, padded_out=True)
+        if Hp != H:
+            cm = jnp.pad(cm, [(0, 0), (0, 0), (0, Hp - H), (0, 0)])
+        color = cm
     else:
+        if channel_major:
+            raise ValueError("channel_major requires the tiled color path")
         gray = ops.bgr_to_gray(images)
         blurred = ops.gaussian_blur(gray, 5, 0)
         binary = ops.adaptive_threshold(
@@ -106,21 +135,28 @@ def contamination_program(images: jnp.ndarray,
         # CCL on v5e (shorter scans, faster per-band convergence); the
         # stats kernels must share the CCL band for the slot tables
         band = min(tiled_band, 128)
+        # the color branch above produced band-padded planes: run every
+        # stage padded (frame_h contract) — zero per-stage pad/unpad
+        fh = H if color is not None else None
         mask = ccl_tiled.fill_holes_tiled(binary > 0, band=band,
                                           sweeps=2, adaptive=True,
-                                          interpret=interp)
+                                          interpret=interp, frame_h=fh)
         labels, root_table, root_count, slot_list, slot_count = (
             ccl_tiled.connected_components_tiled(
                 mask, connectivity=8, band=band, sweeps=2,
                 adaptive=True, interpret=interp, return_roots=max_blobs,
-                band_slots=True))
+                band_slots=True, frame_h=fh))
         from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
         table = blob_stats_tiled(labels, mask, gray, color, band=band,
                                  max_blobs=max_blobs, use_color=use_color,
                                  root_table=root_table,
                                  root_count=root_count,
                                  slot_list=slot_list,
-                                 slot_count=slot_count, interpret=interp)
+                                 slot_count=slot_count, interpret=interp,
+                                 frame_h=fh,
+                                 channel_major=color is not None)
+        if fh is not None and return_labels:
+            labels = labels[:, :H]
     else:
         mask = ops.ccl.fill_holes(binary > 0, sweeps=ccl_sweeps)
         labels = ops.connected_components(mask, connectivity=8,
@@ -283,9 +319,14 @@ class ContaminationDetector(DefectDetector):
         # much faster than interpret-mode Pallas).
         on_accel = jax.default_backend() != "cpu"
         tiled_band = 256 if on_accel else 0
-        if channel_major and images.ndim == 4:
-            images = (images[:, 0] if images.shape[1] == 1
-                      else jnp.transpose(images, (0, 2, 3, 1)))
+        cm_in = channel_major and images.ndim == 4
+        if cm_in and images.shape[1] == 1:
+            images = images[:, 0]                     # Mono8: [N, H, W]
+            cm_in = False
+        elif cm_in and not (tiled_band > 0 and images.shape[1] == 3):
+            # only the tiled color path consumes planes natively
+            images = jnp.transpose(images, (0, 2, 3, 1))
+            cm_in = False
         return contamination_program(
             jnp.asarray(images),
             jnp.int32(int(self.contrast_threshold)),
@@ -297,7 +338,8 @@ class ContaminationDetector(DefectDetector):
             formula=self.formula,
             return_labels=return_labels,
             ccl_sweeps=self.ccl_sweeps,
-            tiled_band=tiled_band)
+            tiled_band=tiled_band,
+            channel_major=cm_in)
 
     def verdict_device(self, images):
         """Verdict-shaped device path for production lines: per-frame

@@ -252,7 +252,7 @@ def _band_ccl_call(m, connectivity, band, sweeps, interpret, roots_cap,
 
 
 def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
-              adaptive=False, emit_edges=False):
+              adaptive=False, emit_edges=False, frame_h=None):
     """Band-local labels for a [B, H, W] bool mask (padded to full bands).
 
     Returns (labels[, edge_rows [B, R, 2, W]][, band_roots [B, R, cap],
@@ -261,20 +261,30 @@ def _band_ccl(mask, connectivity, band, sweeps, interpret, roots_cap=0,
     With adaptive=True the kernels run their sweep loops to an in-VMEM
     certified fixpoint (``sweeps`` is ignored): one launch, exact for any
     geometry.
+
+    ``frame_h``: padded-IO mode — mask is already [B, Hp, W] (pad rows
+    False), true height frame_h; labels come back PADDED (pad rows hold
+    the sentinel frame_h*W, since pad pixels are background).
     """
     B, H, W = mask.shape
-    R = -(-H // band)
-    Hp = R * band
+    if frame_h is not None:
+        Hp, H = H, frame_h
+        R = Hp // band
+        assert Hp == R * band and H <= Hp, (H, Hp, band)
+        m = mask.astype(jnp.uint8)
+    else:
+        R = -(-H // band)
+        Hp = R * band
+        m = mask.astype(jnp.uint8)
+        if Hp != H:
+            m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
     sentinel = H * W  # real pixels never exceed this; pad rows are bg
-    m = mask.astype(jnp.uint8)
-    if Hp != H:
-        m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0)))
 
     out = _band_ccl_call(m, connectivity, band, sweeps, interpret,
                          roots_cap, sentinel, emit_edges=emit_edges,
                          to_fixpoint=adaptive)
 
-    res = [out[0][:, :H]]
+    res = [out[0] if frame_h is not None else out[0][:, :H]]
     idx = 1
     if emit_edges:
         res.append(out[idx])
@@ -721,13 +731,15 @@ def _compact_incidence(presence):
 @functools.partial(jax.jit, static_argnames=("connectivity", "band",
                                              "sweeps", "merge_iters",
                                              "interpret", "return_roots",
-                                             "adaptive", "band_slots"))
+                                             "adaptive", "band_slots",
+                                             "frame_h"))
 def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
                                sweeps: int = 6, merge_iters: int = 0,
                                interpret: bool = False,
                                return_roots: int = 0,
                                adaptive: bool = False,
-                               band_slots: bool = False):
+                               band_slots: bool = False,
+                               frame_h: int | None = None):
     """Drop-in for ops.ccl.connected_components on [B, H, W] bool masks.
 
     Identical output contract (labels = linear index of the component's
@@ -748,6 +760,9 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     (slot_list [B, R, K] i32, slot_count [B, R] i32) — per band, which
     table slots have pixels there (see _merge_with_roots) — for
     blob_stats_tiled to skip empty (slot, band) pairs.
+
+    ``frame_h``: padded-IO mode (see fill_holes_tiled) — mask already
+    [B, Hp, W], labels returned PADDED with sentinel frame_h*W pad rows.
     """
     if band_slots and not return_roots:
         raise ValueError("band_slots=True requires return_roots > 0 "
@@ -756,10 +771,11 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     if squeeze:
         mask = mask[None]
     B, H, W = mask.shape
-    sentinel = H * W
+    sentinel = (frame_h if frame_h is not None else H) * W
     if not return_roots:
         lab, edges = _band_ccl(mask, connectivity, band, sweeps, interpret,
-                               adaptive=adaptive, emit_edges=True)
+                               adaptive=adaptive, emit_edges=True,
+                               frame_h=frame_h)
         lab = _merge_band_labels(lab, band, connectivity, sentinel,
                                  merge_iters, edge_rows=edges)
         return lab[0] if squeeze else lab
@@ -772,7 +788,8 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
                                                sweeps, interpret,
                                                roots_cap=max(K, 128),
                                                adaptive=adaptive,
-                                               emit_edges=True)
+                                               emit_edges=True,
+                                               frame_h=frame_h)
     out = _merge_with_roots(lab, band_roots, counts, band,
                             connectivity, sentinel, K, merge_iters,
                             want_incidence=band_slots, edge_rows=edges)
@@ -881,10 +898,10 @@ def _make_flood_kernel(Th, W, n_bands):
 
 @functools.partial(jax.jit, static_argnames=("band", "sweeps",
                                              "merge_iters", "interpret",
-                                             "adaptive"))
+                                             "adaptive", "frame_h"))
 def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
                      merge_iters: int = 0, interpret: bool = False,
-                     adaptive: bool = False):
+                     adaptive: bool = False, frame_h: int | None = None):
     """Drop-in for ops.ccl.fill_holes on [B, H, W] bool masks.
 
     Background 4-connected-reachable from the frame border (the
@@ -899,19 +916,34 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
 
     ``sweeps``/``merge_iters``/``adaptive`` are accepted for API
     compatibility; the flood always runs to the exact fixpoint.
+
+    ``frame_h``: when set, ``mask`` is ALREADY padded to full bands
+    ([B, Hp, W], pad rows False) with true frame height ``frame_h``, and
+    the PADDED filled plane is returned — the zero-copy contract the
+    detector's 2MP path uses to share one padded layout across all tiled
+    stages (each pad/unpad of a 2MP plane costs 30-60 us/frame of pure
+    HBM relayout, measured r3).
     """
     del sweeps, merge_iters, adaptive
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
+    padded_io = frame_h is not None
     B, H, W = mask.shape
-    R = -(-H // band)
-    Hp = R * band
-    bg = (~mask).astype(jnp.uint8)
-    if Hp != H:
-        # pad rows are exterior-seeded background: they sit outside the
-        # frame and the real bottom border row is a seed anyway
-        bg = jnp.pad(bg, ((0, 0), (0, Hp - H), (0, 0)), constant_values=1)
+    if padded_io:
+        Hp, H = H, frame_h
+        R = Hp // band
+        assert Hp == R * band and H <= Hp, (H, Hp, band)
+        bg = (~mask).astype(jnp.uint8)
+    else:
+        R = -(-H // band)
+        Hp = R * band
+        bg = (~mask).astype(jnp.uint8)
+        if Hp != H:
+            # pad rows are exterior-seeded background: they sit outside
+            # the frame and the real bottom border row is a seed anyway
+            bg = jnp.pad(bg, ((0, 0), (0, Hp - H), (0, 0)),
+                         constant_values=1)
     row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None]
     col = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     border = ((row == 0) | (row >= H - 1) | (col == 0)
@@ -960,5 +992,6 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
         return tuple(call(bg, c[0], halos(c[1])))
 
     ext, _, _ = jax.lax.while_loop(cond, body, (ext, edges, flags))
-    filled = mask | ((bg & (1 - ext)) > 0)[:, :H]
+    hole = (bg & (1 - ext)) > 0
+    filled = mask | (hole if padded_io else hole[:, :H])
     return filled[0] if squeeze else filled

@@ -139,18 +139,32 @@ def _make_preprocess_kernel(band, W, H, R):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "interpret",
+                                             "channel_major", "padded_out"))
 def contamination_preprocess_tiled(images, contrast_threshold,
                                    band: int = 256,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   channel_major: bool = False,
+                                   padded_out: bool = False):
     """[B, H, W, 3] uint8 BGR -> (binary u8 [B, H, W] in {0, 255},
     gray u8 [B, H, W]) — bit-identical to the XLA op composition
     gray -> gaussian_blur(5) -> adaptive_threshold(gaussian, inv, 11, C)
-    -> open(3x3) -> close(3x3)  (tests/test_preprocess_tiled.py)."""
-    B, H, W, _ = images.shape
+    -> open(3x3) -> close(3x3)  (tests/test_preprocess_tiled.py).
+
+    ``channel_major``: images is [B, 3, H, W] (the production feeder
+    layout) — skips the NHWC relayout.  ``padded_out``: return the full
+    [B, Hp, W] band-padded planes (binary pad rows are background; gray
+    pad rows replicate the last frame row) so the caller can share one
+    padded layout across every tiled stage without re-pad/SLICE copies.
+    """
+    if channel_major:
+        B, _, H, W = images.shape
+        cm = images
+    else:
+        B, H, W, _ = images.shape
+        cm = jnp.transpose(images, (0, 3, 1, 2))         # [B, 3, H, W]
     R = -(-H // band)
     E = band + 2 * HALO
-    cm = jnp.transpose(images, (0, 3, 1, 2))             # [B, 3, H, W]
     # halo-extended banded view: edge-pad rows then one contiguous slice
     # per band (placeholder rows beyond the frame are overwritten by the
     # in-kernel border fixups before any stencil reads them)
@@ -184,4 +198,6 @@ def contamination_preprocess_tiled(images, contrast_threshold,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ct, tiles)
+    if padded_out:
+        return binary, gray
     return binary[:, :H], gray[:, :H]

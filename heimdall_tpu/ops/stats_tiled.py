@@ -285,12 +285,15 @@ def _bbox_sums_banded(bbox, slot_list, slot_count, gray_p, cm, band, W, K,
 
 
 @functools.partial(jax.jit, static_argnames=("band", "max_blobs",
-                                             "use_color", "interpret"))
+                                             "use_color", "interpret",
+                                             "frame_h", "channel_major"))
 def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
                      max_blobs: int = 64, use_color: bool = True,
                      root_table=None, root_count=None,
                      slot_list=None, slot_count=None,
-                     interpret: bool = False) -> BlobTable:
+                     interpret: bool = False,
+                     frame_h: int | None = None,
+                     channel_major: bool = False) -> BlobTable:
     """Banded-kernel equivalent of ops.blobs.blob_stats.
 
     labels/mask/gray: [B, H, W] (labels int32, background = H*W);
@@ -300,8 +303,21 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     Optional slot_list [B, R, K] / slot_count [B, R] (from
     connected_components_tiled(band_slots=True)) restrict each band's
     slot loop to components actually present in that band.
+
+    ``frame_h``: padded-IO mode — labels/mask/gray already [B, Hp, W]
+    (pad rows: sentinel / False / anything), true height frame_h; skips
+    every per-plane pad here.  ``channel_major``: color is [B, 3, H(p), W]
+    (the shared transposed layout) — skips the NHWC relayout.
     """
     B, H, W = labels.shape
+    padded_io = frame_h is not None
+    if padded_io:
+        Hp, H = H, frame_h
+        R = Hp // band
+        assert Hp == R * band and H <= Hp, (H, Hp, band)
+    else:
+        R = -(-H // band)
+        Hp = R * band
     # int32 accumulator bound (see _make_banded_stats_kernel): the X-sum of
     # a whole-frame blob is H * W*(W-1)/2; must fit int32.  Holds through
     # the 2 MP design point (1920x1080 -> 2.0e9); ~2.2 MP is the limit.
@@ -309,24 +325,24 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
         f"frame {H}x{W} exceeds blob_stats_tiled's int32 sum bound")
     K = max_blobs
     sentinel = H * W
-    R = -(-H // band)
-    Hp = R * band
     with_color = use_color and color is not None
     with_slots = slot_list is not None and slot_count is not None
 
     rl = root_table[:, :K].astype(jnp.int32)
     n_blobs = root_count.astype(jnp.int32)
 
-    # boundary plane (image border counts as background) — elementwise XLA
+    # boundary plane (image border counts as background) — elementwise XLA.
+    # On padded input the pad rows are False, reproducing the zero pad
+    # below row H-1 exactly.
     mpad = jnp.pad(mask, [(0, 0), (1, 1), (1, 1)])
     nb4 = (mpad[:, :-2, 1:-1].astype(jnp.int32) + mpad[:, 2:, 1:-1]
            + mpad[:, 1:-1, :-2] + mpad[:, 1:-1, 2:])
     boundary = (mask & (nb4 < 4)).astype(jnp.uint8)
 
     def padrows(x, value=0):
-        if Hp == H:
+        if Hp == x.shape[1]:
             return x
-        return jnp.pad(x, [(0, 0), (0, Hp - H), (0, 0)],
+        return jnp.pad(x, [(0, 0), (0, Hp - x.shape[1]), (0, 0)],
                        constant_values=value)
 
     lab_p = padrows(labels, sentinel)      # pad labels never match a root
@@ -341,8 +357,13 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     in_specs = [band_spec(), band_spec(), band_spec()]
     args = [lab_p, gray_p, bnd_p]
     if with_color:
-        cm = padrows(jnp.transpose(color, (0, 3, 1, 2)).reshape(
-            B * 3, H, W)).reshape(B, 3, Hp, W)
+        if channel_major:
+            cm = color if color.shape[2] == Hp else (
+                padrows(color.reshape(B * 3, color.shape[2], W))
+                .reshape(B, 3, Hp, W))
+        else:
+            cm = padrows(jnp.transpose(color, (0, 3, 1, 2)).reshape(
+                B * 3, H, W)).reshape(B, 3, Hp, W)
         in_specs.append(pl.BlockSpec((1, 3, band, W),
                                      lambda b, r, *_: (b, 0, r, 0),
                                      memory_space=pltpu.VMEM))
@@ -423,7 +444,8 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
             if with_slots:
                 c_bbox = box_sums[:, 1 + ch]
             else:
-                c_ii = _integral(color[..., ch].astype(jnp.int32))
+                plane = color[:, ch] if channel_major else color[..., ch]
+                c_ii = _integral(plane.astype(jnp.int32))
                 c_bbox = _bbox_sum(c_ii, x0, y0, x0 + w, y0 + h)
             c_fg_mean = jnp.where(valid,
                                   c_fg.astype(jnp.float32) / safe_px, 127.0)

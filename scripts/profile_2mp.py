@@ -61,18 +61,21 @@ def main():
               f"{dt/B*1000:6.3f} ms/frame", flush=True)
         return out
 
+    # band=128 everywhere: what the detector actually runs
+    # (contamination_detector.py clamps tiled_band=256 to 128)
     binary, gray = timeit(
         "banded preprocess kernel",
         lambda x_: contamination_preprocess_tiled(x_, ct, band=128), x)
     mask = timeit("banded OR-flood fill",
-                  lambda b: fill_holes_tiled(b > 0), binary)
+                  lambda b: fill_holes_tiled(b > 0, band=128,
+                                             adaptive=True), binary)
     lab, rl, nb, sl, sc = timeit(
         "fixpoint band CCL +roots+slots",
         lambda m: connected_components_tiled(
-            m, connectivity=8, band=256, adaptive=True, return_roots=64,
+            m, connectivity=8, band=128, adaptive=True, return_roots=64,
             band_slots=True), mask)
     timeit("incidence-bounded stats",
-           lambda: blob_stats_tiled(lab, mask, gray, x, band=256,
+           lambda: blob_stats_tiled(lab, mask, gray, x, band=128,
                                     max_blobs=64, root_table=rl,
                                     root_count=nb, slot_list=sl,
                                     slot_count=sc))

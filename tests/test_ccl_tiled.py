@@ -163,6 +163,50 @@ def test_contamination_program_tiled_matches_untiled():
                                    atol=1e-5, err_msg=f)
 
 
+def test_program_tiled_padded_and_channel_major():
+    # The shared-padded-layout flow (frame_h contract): a height NOT
+    # divisible by the band exercises real pad rows through preprocess,
+    # flood, CCL and stats; channel_major=True must be bit-identical to
+    # NHWC input (r3: the 2MP path consumes feeder planes natively).
+    from heimdall_tpu.detectors.contamination_detector import (
+        contamination_program)
+
+    rng = np.random.RandomState(7)
+    h, w = 90, 128                       # Hp = 96 at band 32: 6 pad rows
+    frames = np.full((2, h, w, 3), 215, np.uint8)
+    yy, xx = np.ogrid[:h, :w]
+    for i in range(2):
+        for _ in range(4):
+            cy, cx = rng.randint(8, h - 8), rng.randint(8, w - 8)
+            r = rng.randint(2, 7)
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            frames[i][m] = rng.randint(0, 60)
+    gates = (jnp.int32(15), jnp.float32(3.0), jnp.float32(3000.0),
+             jnp.float32(0.2))
+    t0, c0, a0, l0 = contamination_program(jnp.asarray(frames), *gates,
+                                           return_labels=True, ccl_sweeps=6)
+    t1, c1, a1, l1 = contamination_program(jnp.asarray(frames), *gates,
+                                           return_labels=True, ccl_sweeps=6,
+                                           tiled_band=32)
+    cmf = jnp.asarray(np.ascontiguousarray(frames.transpose(0, 3, 1, 2)))
+    t2, c2, a2, l2 = contamination_program(cmf, *gates, return_labels=True,
+                                           ccl_sweeps=6, tiled_band=32,
+                                           channel_major=True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for (a, b) in ((a0, a1), (a1, a2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=0)
+    for f in t0._fields:
+        np.testing.assert_allclose(np.asarray(getattr(t0, f)),
+                                   np.asarray(getattr(t1, f)),
+                                   atol=1e-5, err_msg=f)
+        np.testing.assert_allclose(np.asarray(getattr(t1, f)),
+                                   np.asarray(getattr(t2, f)),
+                                   atol=0, err_msg=f)
+
+
 def test_merge_overflow_falls_back_to_exact_path():
     # More real cross-band edges than _MAX_CHANGED: 512 one-pixel-wide
     # stripes each spanning 4 bands -> 1536 valid interface edges, above the
