@@ -105,21 +105,11 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
         v0 = jnp.where(fg > 0, li, ls)
         big = 1 << max(1, math.ceil(math.log2(ls + 2)))
         assert (max(W, Th) // 2 + 2) * big + ls < (1 << 30), (Th, W)
-        rb_r = _run_pack(fg, big)
-        rb_t = _run_pack(fg_t, big)
 
         def phase(v, rb, f, ss=None):
             v = jnp.where(f > 0, _neighbor_min(v, ls, connectivity), ls)
             return jnp.where(f > 0, _run_min_packed(v, rb, max_steps=ss),
                              ls)
-
-        def sweep2(v):
-            v = phase(v, rb_r, fg)
-            vt = jnp.transpose(v)
-            vt = phase(vt, rb_t, fg_t)
-            vt = phase(vt, rb_t, fg_t)
-            v = jnp.transpose(vt)
-            return phase(v, rb_r, fg)
 
         if to_fixpoint:
             # 3-phase adaptive unit (row, col, row): the certificate makes
@@ -132,6 +122,11 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             # W=1920): same certificate-protected trade as the whole-frame
             # kernel, which measured ss5 ~5% faster than ss6 end-to-end.
             def unit3(v):
+                # scan setup (the run-pack matmuls) lives INSIDE the loop
+                # body, like the flood kernel's: bands already at the
+                # fixpoint never pay it.
+                rb_r = _run_pack(fg, big)
+                rb_t = _run_pack(fg_t, big)
                 v = phase(v, rb_r, fg, ss=5)
                 vt = jnp.transpose(v)
                 vt = phase(vt, rb_t, fg_t, ss=5)
@@ -147,8 +142,29 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
                                ls)
                 return v, jnp.max(jnp.where(nm < v, 1, 0))
 
-            v, _ = jax.lax.while_loop(cond, bodyw, (v0, jnp.int32(1)))
+            # The certificate holds at v0 exactly as it does after a unit
+            # (neighbor-min stationarity => adjacent values equal => labels
+            # constant per component, and the raster-min holder pins the
+            # constant to the component minimum), so check BEFORE the
+            # first unit: converged-at-entry bands — empty or isolated-
+            # pixel bands, the MAJORITY of bands on production 2MP scenes
+            # — skip the sweep machinery entirely.
+            nm0 = jnp.where(fg > 0, _neighbor_min(v0, ls, connectivity),
+                            ls)
+            c0 = jnp.max(jnp.where(nm0 < v0, 1, 0))
+            v, _ = jax.lax.while_loop(cond, bodyw, (v0, c0))
         else:
+            rb_r = _run_pack(fg, big)
+            rb_t = _run_pack(fg_t, big)
+
+            def sweep2(v):
+                v = phase(v, rb_r, fg)
+                vt = jnp.transpose(v)
+                vt = phase(vt, rb_t, fg_t)
+                vt = phase(vt, rb_t, fg_t)
+                v = jnp.transpose(vt)
+                return phase(v, rb_r, fg)
+
             n2 = -(-sweeps // 2)      # sweep2 covers two classic sweeps
             v = jax.lax.fori_loop(0, n2, lambda _, x: sweep2(x), v0)
         base = r * Th * W
