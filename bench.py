@@ -329,29 +329,47 @@ def main():
         # --- the remaining BASELINE.json configs (stderr detail) -----------
         # config #1: single-image contamination detect (test_contamination),
         # latency-shaped: persistent compiled batch-1 program, pre-put input
-        # buffer, one launch, minimal D2H (the [1, K] accepted row).  The
-        # tunnel charges ~24 ms launch + ~6 ms fetch per round trip
-        # (scripts/profile_dispatch.py), so the same protocol is also timed
-        # on a no-op program and the difference — the detection program's own
-        # cost — is reported against the reference's <10 ms deadline.
+        # buffer, one launch, minimal D2H.  The tunnel charges a ~24-40 ms
+        # round trip whose run-to-run jitter dwarfs the sub-ms program, so
+        # the program's own cost is measured by an N-ITERATED JITTED LOOP
+        # over the detect body (one launch runs it n times; the tunnel
+        # floor cancels in the (n=65) - (n=1) difference divided by 64,
+        # shrinking the floor jitter's contribution 64x).  r3 measured the
+        # old two-roundtrip difference at 0.24 / 1.60 / 2.07 ms across
+        # same-day artifacts — pure noise; this protocol replaces it
+        # (VERDICT r3 #3).
         one = jax.device_put(frame1, dev)          # [1, 3, H, W]
-        noop = jax.jit(lambda x: x[:, 0, 0, 0] > 0)
-        run(one)
-        np.asarray(noop(one)[0])
-        lat1, lat0 = [], []
-        for _ in range(10):
+
+        @jax.jit
+        def detect_loop(x, n):
+            def body(_, carry):
+                xi, _acc = carry
+                a, _conf = run(xi)
+                na = jnp.sum(a.astype(jnp.int32))
+                # serialize iterations: na >= 0 always holds at runtime but
+                # XLA cannot prove it, so every iteration depends on the
+                # previous result and none can be elided or overlapped
+                xn = jnp.where(na < 0, xi ^ 1, xi)
+                return xn, na
+            return jax.lax.fori_loop(0, n, body, (x, jnp.int32(0)))[1]
+
+        n_hi = jnp.int32(65)
+        n_lo = jnp.int32(1)
+        np.asarray(detect_loop(one, n_hi))          # compile + warm
+        lat_hi, lat_lo = [], []
+        for _ in range(8):
             t1 = time.perf_counter()
-            a, _ = run(one)
-            np.asarray(a[0, 0])
-            lat1.append(time.perf_counter() - t1)
+            np.asarray(detect_loop(one, n_hi))
+            lat_hi.append(time.perf_counter() - t1)
             t1 = time.perf_counter()
-            np.asarray(noop(one)[0])
-            lat0.append(time.perf_counter() - t1)
-        p50_1 = np.percentile(np.asarray(lat1) * 1000, 50)
-        p50_0 = np.percentile(np.asarray(lat0) * 1000, 50)
-        log(f"config#1 single-image detect: p50 {p50_1:.2f} ms end-to-end "
-            f"(tunnel floor {p50_0:.2f} ms; detection program "
-            f"{max(p50_1 - p50_0, 0):.2f} ms vs the 10 ms deadline)")
+            np.asarray(detect_loop(one, n_lo))
+            lat_lo.append(time.perf_counter() - t1)
+        p50_hi = np.percentile(np.asarray(lat_hi) * 1000, 50)
+        p50_lo = np.percentile(np.asarray(lat_lo) * 1000, 50)
+        prog_ms = max(p50_hi - p50_lo, 0.0) / 64.0
+        log(f"config#1 single-image detect: program cost {prog_ms:.3f} ms "
+            f"(64-iteration amortized; n=65 loop p50 {p50_hi:.2f} ms, n=1 "
+            f"p50 {p50_lo:.2f} ms incl. tunnel floor) vs the 10 ms deadline")
 
     with guarded("config#2"):
         # config #2: preprocessing only (gray + blur + adaptive threshold).
@@ -515,19 +533,29 @@ def main():
                         raise
                     log(f"2MP at batch {b2} exhausted HBM; retrying at 128")
                     del xbig, args2, run2
-            # submit all batches, force only the last (in-order execution)
-            infl = []
-            t1 = time.perf_counter()
-            it2 = 12
-            for _ in range(it2):
-                infl.append(run2()[2])
-            np.asarray(infl[-1][0, 0])
-            dt2 = time.perf_counter() - t1
-            del infl, xbig
-            log(f"design-point 1920x1080 tiled detect: {b2*it2/dt2:.1f} fps "
-                f"({dt2/it2/b2*1000:.2f} ms/frame wall; est device "
-                f"{(dt2/it2*1000-24)/b2:.2f} ms/frame net of launch overhead; "
-                f"line needs 100 fps = 4 cams x 25)")
+            # Same protocol as the headline: THREE independent windows
+            # (submit all, force only the last), report the MEDIAN — r3's
+            # single-window 2MP point swung 16% between same-day artifacts
+            # (980 vs 1134.7 fps, VERDICT r3 weak #4).
+            it2 = 4
+            fps2 = []
+            for _w in range(3):
+                infl = []
+                t1 = time.perf_counter()
+                for _ in range(it2):
+                    infl.append(run2()[2])
+                np.asarray(infl[-1][0, 0])
+                dt2 = time.perf_counter() - t1
+                del infl
+                fps2.append(b2 * it2 / dt2)
+                log(f"  2MP window {_w}: {fps2[-1]:.1f} fps")
+            del xbig
+            fps2_med = float(np.median(fps2))
+            log(f"design-point 1920x1080 tiled detect: {fps2_med:.1f} fps "
+                f"(median of 3 windows, spread {min(fps2):.0f}-"
+                f"{max(fps2):.0f}; {1000/fps2_med:.2f} ms/frame wall; est "
+                f"device {1000/fps2_med - 24/b2:.2f} ms/frame net of launch "
+                f"overhead; line needs 100 fps = 4 cams x 25)")
     cache_seen = _cache_delta(cache_seen, "configs #4-#5 + 2MP")
 
     phase("2MP done")

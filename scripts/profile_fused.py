@@ -84,7 +84,7 @@ def main():
                 return
             lin = row_idx * W + col_idx
             lab = pk._ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
-                                 sentinel, 2, adaptive=True)
+                                 sentinel, 2, adaptive=True, scan_steps=5)
             out_ref[0] = lab
 
         gs = pltpu.PrefetchScalarGridSpec(
@@ -167,8 +167,8 @@ def main():
     @jax.jit
     def full(x):
         t, c, a = contamination_pallas_detect(
-            jnp.transpose(x, (0, 2, 3, 1)), 15, 10.0, 3000.0, 0.25,
-            max_blobs=K, adaptive=True, sweeps=2)
+            x, 15, 10.0, 3000.0, 0.25, max_blobs=K, adaptive=True,
+            sweeps=2, scan_steps=5, channel_major=True)
         return a
     t_full = bench_fn("full detect (A+B+gates)", full, cm, slice_=(0, 0))
 
