@@ -322,7 +322,11 @@ def _interface_edges(labels, band, connectivity, sentinel, edge_rows=None):
     they are sliced from the full label image (a relayout copy of the
     whole image on TPU)."""
     B, H, W = labels.shape
-    R = -(-H // band)
+    # With edge_rows the band count comes from the table itself: the
+    # spatially-sharded path (parallel/tiled_sp.py) passes LOCAL labels
+    # with the GLOBALLY gathered edge table, so labels.shape only covers
+    # this shard's bands.
+    R = edge_rows.shape[1] if edge_rows is not None else -(-H // band)
     if edge_rows is not None:
         top = edge_rows[:, :R - 1, 1]                 # last row of band r
         bot = edge_rows[:, 1:, 0]                     # first row of band r+1

@@ -399,7 +399,37 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
 
     sums, bbox = _chunked_call(stats_call, B, BC, (*scalars, *args), 2)
 
-    # ---- assemble the BlobTable (same math as ops/blobs.py) ---------------
+    if with_slots:
+        # banded bbox sums — a second kernel pass over the incidence
+        # bands; kills the 4 dense integral images (~1 ms/frame at 2 MP)
+        box_sums = _bbox_sums_banded(bbox, slot_list.astype(jnp.int32),
+                                     slot_count.astype(jnp.int32),
+                                     gray_p, cm if with_color else None,
+                                     band, W, K, R, with_color, interpret)
+    else:
+        valid0 = sums[:, S_ONES] > 0
+        x0 = jnp.where(valid0, bbox[:, 0], 0)
+        y0 = jnp.where(valid0, bbox[:, 1], 0)
+        x1 = jnp.where(valid0, bbox[:, 2] + 1, 0)
+        y1 = jnp.where(valid0, bbox[:, 3] + 1, 0)
+        planes = [gray]
+        if with_color:
+            planes += [(color[:, ch] if channel_major else color[..., ch])
+                       for ch in range(3)]
+        box_sums = jnp.stack(
+            [_bbox_sum(_integral(p.astype(jnp.int32)), x0, y0, x1, y1)
+             for p in planes], axis=1)
+    return _assemble_table(sums, bbox, n_blobs, box_sums, with_color)
+
+
+def _assemble_table(sums, bbox, n_blobs, box_sums, with_color):
+    """Raw kernel outputs -> BlobTable (same math as ops/blobs.py).
+
+    sums [B, S, K] i32 per-slot pixel sums, bbox [B, 4, K] i32 inclusive
+    (x0, y0, x1, y1; invalid slots hold the min/max neutrals), box_sums
+    [B, C, K] i32 bbox-window sums of gray(, b, g, r), n_blobs [B].
+    Shared by the single-chip tiled path and the spatially-sharded path
+    (parallel/tiled_sp.py), whose sums/bboxes arrive psum/pmin-combined."""
     area_px = sums[:, S_ONES]
     valid = area_px > 0
     safe_px = jnp.maximum(area_px, 1)
@@ -415,17 +445,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     h = jnp.where(valid, bbox[:, 3] - bbox[:, 1] + 1, 0)
 
     fg_sum = sums[:, S_GRAY]
-    if with_slots:
-        # banded bbox sums — a second kernel pass over the incidence
-        # bands; kills the 4 dense integral images (~1 ms/frame at 2 MP)
-        box_sums = _bbox_sums_banded(bbox, slot_list.astype(jnp.int32),
-                                     slot_count.astype(jnp.int32),
-                                     gray_p, cm if with_color else None,
-                                     band, W, K, R, with_color, interpret)
-        bbox_sum = box_sums[:, 0]
-    else:
-        ii = _integral(gray.astype(jnp.int32))
-        bbox_sum = _bbox_sum(ii, x0, y0, x0 + w, y0 + h)
+    bbox_sum = box_sums[:, 0]
     bg_px = w * h - area_px
     fg_mean = jnp.where(valid, fg_sum.astype(jnp.float32) / safe_px, 127.0)
     bg_mean = jnp.where(bg_px > 0,
@@ -441,12 +461,7 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
         diffs = []
         for ch, srow in ((0, S_B), (1, S_G), (2, S_R)):
             c_fg = sums[:, srow]
-            if with_slots:
-                c_bbox = box_sums[:, 1 + ch]
-            else:
-                plane = color[:, ch] if channel_major else color[..., ch]
-                c_ii = _integral(plane.astype(jnp.int32))
-                c_bbox = _bbox_sum(c_ii, x0, y0, x0 + w, y0 + h)
+            c_bbox = box_sums[:, 1 + ch]
             c_fg_mean = jnp.where(valid,
                                   c_fg.astype(jnp.float32) / safe_px, 127.0)
             c_bg_mean = jnp.where(bg_px > 0,
