@@ -40,22 +40,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from heimdall_tpu.ops.pallas_kernels import (_run_pack, _run_min_packed,
-                                             _run_or_packed,
-                                             _shift_const)
+                                             _run_or_packed, _shift_const,
+                                             _EdgeMasks, _roll_lane)
 
 
 # ---------------------------------------------------------------------------
 # band-local CCL kernel
 # ---------------------------------------------------------------------------
 
-def _neighbor_min(lab, sentinel, connectivity):
+def _neighbor_min(lab, sentinel, connectivity, mk=None):
+    if mk is not None:
+        l_shift = _roll_lane(lab, 1) + mk.pen_f[0]
+        r_shift = _roll_lane(lab, -1) + mk.pen_b[0]
+    else:
+        l_shift = _shift_const(lab, 1, 1, sentinel)
+        r_shift = _shift_const(lab, -1, 1, sentinel)
     if connectivity == 8:
-        row = jnp.minimum(lab, jnp.minimum(_shift_const(lab, 1, 1, sentinel),
-                                           _shift_const(lab, -1, 1, sentinel)))
+        row = jnp.minimum(lab, jnp.minimum(l_shift, r_shift))
         return jnp.minimum(row, jnp.minimum(_shift_const(row, 1, 0, sentinel),
                                             _shift_const(row, -1, 0, sentinel)))
-    out = jnp.minimum(lab, _shift_const(lab, 1, 1, sentinel))
-    out = jnp.minimum(out, _shift_const(lab, -1, 1, sentinel))
+    out = jnp.minimum(lab, l_shift)
+    out = jnp.minimum(out, r_shift)
     out = jnp.minimum(out, _shift_const(lab, 1, 0, sentinel))
     return jnp.minimum(out, _shift_const(lab, -1, 0, sentinel))
 
@@ -105,10 +110,13 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
         v0 = jnp.where(fg > 0, li, ls)
         big = 1 << max(1, math.ceil(math.log2(ls + 2)))
         assert (max(W, Th) // 2 + 2) * big + ls < (1 << 30), (Th, W)
+        mk_r = _EdgeMasks(W)
+        mk_t = _EdgeMasks(Th)
 
-        def phase(v, rb, f, ss=None):
-            v = jnp.where(f > 0, _neighbor_min(v, ls, connectivity), ls)
-            return jnp.where(f > 0, _run_min_packed(v, rb, max_steps=ss),
+        def phase(v, rb, f, mk, ss=None):
+            v = jnp.where(f > 0, _neighbor_min(v, ls, connectivity, mk), ls)
+            return jnp.where(f > 0,
+                             _run_min_packed(v, rb, mk, max_steps=ss),
                              ls)
 
         if to_fixpoint:
@@ -122,23 +130,24 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             # W=1920): same certificate-protected trade as the whole-frame
             # kernel, which measured ss5 ~5% faster than ss6 end-to-end.
             def unit3(v):
-                # scan setup (the run-pack matmuls) lives INSIDE the loop
+                # scan setup (the run-pack ladders) lives INSIDE the loop
                 # body, like the flood kernel's: bands already at the
                 # fixpoint never pay it.
-                rb_r = _run_pack(fg, big)
-                rb_t = _run_pack(fg_t, big)
-                v = phase(v, rb_r, fg, ss=5)
+                rb_r = _run_pack(fg, big, mk_r)
+                rb_t = _run_pack(fg_t, big, mk_t)
+                v = phase(v, rb_r, fg, mk_r, ss=5)
                 vt = jnp.transpose(v)
-                vt = phase(vt, rb_t, fg_t, ss=5)
+                vt = phase(vt, rb_t, fg_t, mk_t, ss=5)
                 v = jnp.transpose(vt)
-                return phase(v, rb_r, fg, ss=5)
+                return phase(v, rb_r, fg, mk_r, ss=5)
 
             def cond(c):
                 return c[1] > 0
 
             def bodyw(c):
                 v = unit3(c[0])
-                nm = jnp.where(fg > 0, _neighbor_min(v, ls, connectivity),
+                nm = jnp.where(fg > 0,
+                               _neighbor_min(v, ls, connectivity, mk_r),
                                ls)
                 return v, jnp.max(jnp.where(nm < v, 1, 0))
 
@@ -149,21 +158,22 @@ def _make_band_ccl_kernel(Th, W, sentinel, connectivity, sweeps,
             # first unit: converged-at-entry bands — empty or isolated-
             # pixel bands, the MAJORITY of bands on production 2MP scenes
             # — skip the sweep machinery entirely.
-            nm0 = jnp.where(fg > 0, _neighbor_min(v0, ls, connectivity),
+            nm0 = jnp.where(fg > 0,
+                            _neighbor_min(v0, ls, connectivity, mk_r),
                             ls)
             c0 = jnp.max(jnp.where(nm0 < v0, 1, 0))
             v, _ = jax.lax.while_loop(cond, bodyw, (v0, c0))
         else:
-            rb_r = _run_pack(fg, big)
-            rb_t = _run_pack(fg_t, big)
+            rb_r = _run_pack(fg, big, mk_r)
+            rb_t = _run_pack(fg_t, big, mk_t)
 
             def sweep2(v):
-                v = phase(v, rb_r, fg)
+                v = phase(v, rb_r, fg, mk_r)
                 vt = jnp.transpose(v)
-                vt = phase(vt, rb_t, fg_t)
-                vt = phase(vt, rb_t, fg_t)
+                vt = phase(vt, rb_t, fg_t, mk_t)
+                vt = phase(vt, rb_t, fg_t, mk_t)
                 v = jnp.transpose(vt)
-                return phase(v, rb_r, fg)
+                return phase(v, rb_r, fg, mk_r)
 
             n2 = -(-sweeps // 2)      # sweep2 covers two classic sweeps
             v = jax.lax.fori_loop(0, n2, lambda _, x: sweep2(x), v0)
@@ -850,15 +860,19 @@ def _make_flood_kernel(Th, W, n_bands):
         seed = ext0 | (jnp.where(row_i == 0, jnp.tile(top, (Th, 1)), 0)
                        | jnp.where(row_i == Th - 1,
                                    jnp.tile(bot, (Th, 1)), 0)) & bg
+        mk_r = _EdgeMasks(W)
+        mk_t = _EdgeMasks(Th)
 
-        def grow4(e, b):
-            g = e
-            for s, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
-                g = g | _shift_const(e, s, axis, 0)
+        def grow4(e, b, mk):
+            # on 0/1 planes OR == max; -_PEN zero-fills wrapped lanes
+            row = jnp.maximum(jnp.maximum(e, _roll_lane(e, 1) - mk.pen_f[0]),
+                              _roll_lane(e, -1) - mk.pen_b[0])
+            g = jnp.maximum(row, jnp.maximum(_shift_const(e, 1, 0, 0),
+                                             _shift_const(e, -1, 0, 0)))
             return g & b
 
-        def phase(e, rb, b, ms=None):
-            return _run_or_packed(grow4(e, b), rb, max_steps=ms) & b
+        def phase(e, rb, b, mk, ms=None):
+            return _run_or_packed(grow4(e, b, mk), rb, mk, max_steps=ms) & b
 
         # finer adaptive granularity than the CCL's double sweep: the
         # flood usually completes in 2-3 phases (see pallas_kernels
@@ -878,11 +892,11 @@ def _make_flood_kernel(Th, W, n_bands):
         # outputs identical.
         def sweep1(e):
             bg_t = jnp.transpose(bg)
-            rb_r = _run_pack(bg, 2)
-            rb_t = _run_pack(bg_t, 2)
-            e = phase(e, rb_r, bg)
+            rb_r = _run_pack(bg, 2, mk_r)
+            rb_t = _run_pack(bg_t, 2, mk_t)
+            e = phase(e, rb_r, bg, mk_r)
             et = jnp.transpose(e)
-            et = phase(et, rb_t, bg_t, ms=4)
+            et = phase(et, rb_t, bg_t, mk_t, ms=4)
             return jnp.transpose(et)
 
         def cond(c):
@@ -890,9 +904,9 @@ def _make_flood_kernel(Th, W, n_bands):
 
         def body(c):
             e = sweep1(c[0])
-            return e, jnp.max(grow4(e, bg) & (1 - e))
+            return e, jnp.max(grow4(e, bg, mk_r) & (1 - e))
 
-        pending = jnp.max(grow4(seed, bg) & (1 - seed))
+        pending = jnp.max(grow4(seed, bg, mk_r) & (1 - seed))
         ext, _ = jax.lax.while_loop(cond, body, (seed, pending))
         out_ref[0] = ext.astype(jnp.uint8)
         edge_ref[0, 0] = jnp.concatenate(

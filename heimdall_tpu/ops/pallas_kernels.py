@@ -94,6 +94,77 @@ def _shift_const(x, s, axis, value):
     return jnp.where(idx >= n + s, value, rolled)
 
 
+# Additive edge penalty for masked rolls.  Legit scan keys satisfy
+# |key| + span < 2^30 (asserted per kernel), so key + _PEN can never win a
+# min (it exceeds every legit key), key - _PEN can never win a max, and
+# neither overflows int32 (|key| < 2^30 -> |key +- _PEN| < 2^31).
+_PEN = 1 << 30
+
+
+class _EdgeMasks:
+    """Per-kernel-orientation lane-edge masks for roll-based shifts.
+
+    A measured v5e microbench (scripts/microbench_vpu.py) puts a bare
+    roll+or at 0.062 us/frame but the iota-masked roll step at 0.387 —
+    the per-step `broadcasted_iota` + compare + select IS the cost of
+    every scan step.  These masks are built ONCE per kernel body (they
+    close over loop bodies, so fixpoint iterations reuse them) and each
+    shift becomes roll + one add (min/max scans: penalty masks) or
+    roll + one and (OR grows: keep masks).
+
+    pen_f[k] / pen_b[k]: [1, W] int32, _PEN on the lanes a roll by
+    +-2^k wraps, 0 elsewhere.  All fills are expressed arithmetically
+    (add/sub the penalty, clamp with min/max) — broadcast bitwise masks
+    (& with [1, W]) measured pathologically slow in-kernel."""
+
+    def __init__(self, W, steps=None):
+        self.W = W
+        if steps is None:
+            steps = max(1, math.ceil(math.log2(W)))
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        self.pen_f = [jnp.where(idx < (1 << k), _PEN, 0)
+                      for k in range(steps)]
+        self.pen_b = [jnp.where(idx >= W - (1 << k), _PEN, 0)
+                      for k in range(steps)]
+
+
+def _roll_lane(v, d):
+    """Pure lane roll by d (may be negative)."""
+    return pltpu.roll(v, d % v.shape[1], 1)
+
+
+def _min_scan_masked(v, mk: _EdgeMasks, reverse, max_steps=None):
+    """Running-min doubling scan along lanes with additive edge masks.
+
+    Equivalent to _min_scan_plain(..., fill=2^30) whenever legit values
+    stay within (-2^30 + span, 2^30 - span): the penalized wrapped value
+    key + _PEN exceeds every legit key, so it can never win a min and is
+    never stored (see _PEN)."""
+    steps = len(mk.pen_f)
+    if max_steps is not None:
+        steps = min(steps, max_steps)
+    if not reverse:
+        for k in range(steps):
+            v = jnp.minimum(v, _roll_lane(v, 1 << k) + mk.pen_f[k])
+    else:
+        for k in range(steps):
+            v = jnp.minimum(v, _roll_lane(v, -(1 << k)) + mk.pen_b[k])
+    return v
+
+
+def _max_scan_masked(v, mk: _EdgeMasks, reverse, max_steps=None):
+    steps = len(mk.pen_f)
+    if max_steps is not None:
+        steps = min(steps, max_steps)
+    if not reverse:
+        for k in range(steps):
+            v = jnp.maximum(v, _roll_lane(v, 1 << k) - mk.pen_f[k])
+    else:
+        for k in range(steps):
+            v = jnp.maximum(v, _roll_lane(v, -(1 << k)) - mk.pen_b[k])
+    return v
+
+
 def _conv_axis(x, taps, axis, mode):
     """Correlation along one axis with border handling (integer or float)."""
     r = len(taps) // 2
@@ -104,14 +175,20 @@ def _conv_axis(x, taps, axis, mode):
     return out
 
 
-def _minmax3(x, is_min):
+def _minmax3(x, is_min, mk=None):
     """3x3 erode/dilate with OpenCV constant border (255 / 0).
 
     Separable (rect kernel): min/max over rows then columns — 4 shifts
-    instead of 12."""
+    instead of 12.  With ``mk`` the column shifts are masked rolls: the
+    +-_PEN edge penalty is neutral for the respective reduction exactly
+    like the constant border value (values are 0/255)."""
     value = 255 if is_min else 0
     op = jnp.minimum if is_min else jnp.maximum
     r = op(op(x, _shift_const(x, 1, 0, value)), _shift_const(x, -1, 0, value))
+    if mk is not None:
+        s = 1 if is_min else -1
+        return op(op(r, _roll_lane(r, 1) + s * mk.pen_f[0]),
+                  _roll_lane(r, -1) + s * mk.pen_b[0])
     return op(op(r, _shift_const(r, 1, 1, value)),
               _shift_const(r, -1, 1, value))
 
@@ -125,9 +202,11 @@ def _lane_cumsum_mxu(x):
     """Inclusive prefix sum along lanes via one MXU matmul.
 
     x: [H, W] 0/1 int32 (start flags).  Exact: bf16 inputs are 0/1,
-    products exact, f32 accumulation of <= W ones < 2^24.  Replaces a
-    10-step doubling ladder with ~200M MACs of otherwise-idle MXU time.
-    """
+    products exact, f32 accumulation of <= W ones < 2^24.  A 10-step
+    masked-roll doubling ladder microbenches 10x cheaper in isolation
+    but measured +23 us/frame in the fill kernel (r4 bisection,
+    scripts/profile_fill_variants.py) — the matmul rides otherwise-idle
+    MXU cycles and keeps the VPU free; keep it."""
     H, W = x.shape
     i = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
@@ -138,7 +217,7 @@ def _lane_cumsum_mxu(x):
     return out.astype(jnp.int32)
 
 
-def _run_pack(fg, big):
+def _run_pack(fg, big, mk=None):
     """Run-id key plane for the packed segmented scans: runid * big.
 
     A run is a maximal contiguous stretch of fg along lanes.  Subtracting
@@ -149,7 +228,12 @@ def _run_pack(fg, big):
     positions inherit the previous run's id — harmless, results are
     re-masked with fg after each phase.
     """
-    start = fg & (1 - _shift_const(fg, 1, 1, 0))
+    if mk is not None:
+        # roll with 0 fill via the penalty clamp (one add + one max)
+        shifted = jnp.maximum(_roll_lane(fg, 1) - mk.pen_f[0], 0)
+        start = fg * (1 - shifted)
+    else:
+        start = fg & (1 - _shift_const(fg, 1, 1, 0))
     return _lane_cumsum_mxu(start) * big
 
 
@@ -172,14 +256,6 @@ def _min_scan_plain(v, axis, reverse, fill, max_steps=None):
     return v
 
 
-def _run_min_packed(v, rb, fill=1 << 30, max_steps=None):
-    """Per-run min broadcast to the whole run: fwd then bwd plain
-    min-scans over run-id-packed keys (see _run_pack).  ~2x cheaper than
-    the blocked-flag segmented scan (no flag plane to carry)."""
-    v = _min_scan_plain(v - rb, 1, False, fill, max_steps) + rb
-    return _min_scan_plain(v + rb, 1, True, fill, max_steps) - rb
-
-
 def _max_scan_plain(v, axis, reverse, fill, max_steps=None):
     size = v.shape[axis]
     steps = max(1, math.ceil(math.log2(size)))
@@ -193,18 +269,35 @@ def _max_scan_plain(v, axis, reverse, fill, max_steps=None):
     return v
 
 
-def _run_or_packed(f, rb, max_steps=None):
+def _run_min_packed(v, rb, mk=None, max_steps=None):
+    """Per-run min broadcast to the whole run: fwd then bwd min-scans
+    over run-id-packed keys (see _run_pack).  ~2x cheaper than the
+    blocked-flag segmented scan (no flag plane to carry).  With ``mk``
+    each step is a masked roll (roll + add + min, see _EdgeMasks);
+    without, the iota-where fill form.
+
+    max_steps truncates the ladder: the running min then only reaches
+    2^max_steps - 1 positions, NOT the whole row.  Only valid when a
+    fixpoint loop certifies convergence around it (propagation stays
+    monotone, just shorter-range per phase)."""
+    if mk is not None:
+        v = _min_scan_masked(v - rb, mk, False, max_steps) + rb
+        return _min_scan_masked(v + rb, mk, True, max_steps) - rb
+    v = _min_scan_plain(v - rb, 1, False, 1 << 30, max_steps) + rb
+    return _min_scan_plain(v + rb, 1, True, 1 << 30, max_steps) - rb
+
+
+def _run_or_packed(f, rb, mk=None, max_steps=None):
     """Per-run OR broadcast to the whole run (f in {0,1}): max-scans over
     packed keys (earlier runs' keys must be smaller forward, larger
     backward).  max_steps truncates reach (certificate-protected callers
     only)."""
+    if mk is not None:
+        f = _max_scan_masked(f + rb, mk, False, max_steps) - rb
+        return _max_scan_masked(f - rb, mk, True, max_steps) + rb
     f = _max_scan_plain(f + rb, 1, False, -(1 << 30), max_steps) - rb
     return _max_scan_plain(f - rb, 1, True, -(1 << 30), max_steps) + rb
 
-
-# ---------------------------------------------------------------------------
-# in-kernel CCL machinery (mask/labels are [H, W] int32 in VMEM)
-# ---------------------------------------------------------------------------
 
 def _neighbor_min8(lab, sentinel):
     """3x3 min (separable, includes self) — the 8-neighbourhood min used
@@ -214,6 +307,10 @@ def _neighbor_min8(lab, sentinel):
     return jnp.minimum(row, jnp.minimum(_shift_const(row, 1, 0, sentinel),
                                         _shift_const(row, -1, 0, sentinel)))
 
+
+# ---------------------------------------------------------------------------
+# in-kernel CCL machinery (mask/labels are [H, W] int32 in VMEM)
+# ---------------------------------------------------------------------------
 
 def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False, scan_steps=None):
     """Label propagation via run-id-packed PLAIN min-scans.
@@ -234,30 +331,64 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False, scan_steps=None):
     assert scan_steps is None or adaptive, \
         "truncated scans need the adaptive fixpoint certificate"
     H, W = lab.shape
+    # Guard rows: G sentinel rows above and below the frame make every
+    # SUBLANE roll fill-free — the wrapped rows land in (or come from)
+    # guards, whose values are sentinel (labels) because every phase
+    # re-masks with fgx (guards are background there).  The 8-neighbour
+    # min is orientation-independent, so it ALWAYS runs in row space
+    # where the guards live; only the lane scans transpose.  Net: the
+    # two sublane shifts per neighbor-min drop from iota+cmp+select
+    # fills (~0.39 us each, r4 microbench) to bare rolls (~0.06).
+    G = 8
+    Hg = H + 2 * G
+    srow = jnp.full((G, W), sentinel, lab.dtype)
+    zrow = jnp.zeros((G, W), fg.dtype)
+    labx = jnp.concatenate([srow, lab, srow], axis=0)
+    fgx = jnp.concatenate([zrow, fg, zrow], axis=0)
     big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
-    # key bound: c_max * big + sentinel must stay clear of the 2^30 fill
-    assert (max(W, H) // 2 + 2) * big + sentinel < (1 << 30), (H, W)
-    rb_r = _run_pack(fg, big)
-    fg_t = jnp.transpose(fg)
-    rb_t = _run_pack(fg_t, big)
+    # key bound: c_max * big + sentinel must stay clear of the _PEN edge
+    # penalty (masked rolls add/subtract 2^30; legit keys must never
+    # reach it, see _EdgeMasks)
+    assert (max(W, Hg) // 2 + 2) * big + sentinel < (1 << 30), (H, W)
+    mk_r = _EdgeMasks(W)
+    mk_t = _EdgeMasks(Hg)
+    rb_r = _run_pack(fgx, big, mk_r)
+    fg_t = jnp.transpose(fgx)
+    rb_t = _run_pack(fg_t, big, mk_t)
 
-    def phase(l, rb, f):
-        l = jnp.where(f > 0, _neighbor_min8(l, sentinel), sentinel)
-        return jnp.where(f > 0,
-                         _run_min_packed(l, rb, max_steps=scan_steps),
+    def nb(l):
+        # masked lane rolls + bare sublane rolls (guards absorb the wrap)
+        row = jnp.minimum(l, jnp.minimum(_roll_lane(l, 1) + mk_r.pen_f[0],
+                                         _roll_lane(l, -1) + mk_r.pen_b[0]))
+        return jnp.minimum(row, jnp.minimum(pltpu.roll(row, 1, 0),
+                                            pltpu.roll(row, Hg - 1, 0)))
+
+    def phase_r(l):
+        l = jnp.where(fgx > 0, nb(l), sentinel)
+        return jnp.where(fgx > 0,
+                         _run_min_packed(l, rb_r, mk_r,
+                                         max_steps=scan_steps),
                          sentinel)
 
-    def sweep2(l):
-        l = phase(l, rb_r, fg)
+    def phase_c(l):
+        l = jnp.where(fgx > 0, nb(l), sentinel)
         lt = jnp.transpose(l)
-        lt = phase(lt, rb_t, fg_t)
-        lt = phase(lt, rb_t, fg_t)
-        l = jnp.transpose(lt)
-        return phase(l, rb_r, fg)
+        lt = jnp.where(fg_t > 0,
+                       _run_min_packed(lt, rb_t, mk_t,
+                                       max_steps=scan_steps),
+                       sentinel)
+        return jnp.transpose(lt)
+
+    def sweep2(l):
+        return phase_r(phase_c(phase_c(phase_r(l))))
+
+    def strip(l):
+        return jax.lax.slice_in_dim(l, G, G + H, axis=0)
 
     if not adaptive:
         n2 = -(-sweeps // 2)          # sweep2 covers two classic sweeps
-        return jax.lax.fori_loop(0, n2, lambda _, l: sweep2(l), lab)
+        return strip(jax.lax.fori_loop(0, n2, lambda _, l: sweep2(l),
+                                       labx))
 
     # Adaptive: sweep until a neighbor-min fixpoint.  At such a fixpoint
     # every adjacent fg pair satisfies lab[a] <= lab[b] AND lab[b] <= lab[a]
@@ -274,22 +405,18 @@ def _ccl_sweeps(lab, fg, sentinel, sweeps, adaptive=False, scan_steps=None):
     # the blob), so the second col phase is pure overhead for the
     # typical frame and the tail pays one more (cheaper) unit.
     def unit3(l):
-        l = phase(l, rb_r, fg)
-        lt = jnp.transpose(l)
-        lt = phase(lt, rb_t, fg_t)
-        l = jnp.transpose(lt)
-        return phase(l, rb_r, fg)
+        return phase_r(phase_c(phase_r(l)))
 
     def cond(carry):
         return carry[1] > 0
 
     def body(carry):
         lab = unit3(carry[0])
-        nm = jnp.where(fg > 0, _neighbor_min8(lab, sentinel), sentinel)
+        nm = jnp.where(fgx > 0, nb(lab), sentinel)
         changed = jnp.max(jnp.where(nm < lab, 1, 0))
         return lab, changed
 
-    return jax.lax.while_loop(cond, body, (lab, jnp.int32(1)))[0]
+    return strip(jax.lax.while_loop(cond, body, (labx, jnp.int32(1)))[0])
 
 
 def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
@@ -300,6 +427,12 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
     transpose-halved sweep2 structure.
     """
     H, W = fg.shape
+    # r4 bisection note (scripts/profile_fill_variants.py, v5e): every
+    # "new" ingredient REGRESSED this kernel — guard rows +13 us/frame,
+    # ladder run-pack +23, masked scans +3 — while the same ingredients
+    # (minus the ladder) IMPROVED the CCL sweeps.  The flood's planes are
+    # 0/1 with cheap constant fills and its phases are few; the r3 form
+    # below is the measured optimum (60 vs 85 us/frame pre+fill).
     bg = 1 - fg
     bg_t = jnp.transpose(bg)
     rb_r = _run_pack(bg, 2)
@@ -501,6 +634,15 @@ def _make_stats_kernel(H, W, K):
     return kernel
 
 
+# Stats band height for the fused kernel's per-slot banded reductions.
+# 128 rows (a multiple of the uint8 sublane tile, 32) bounds every
+# per-slot reduction to a [128, W] window positioned at the blob:
+# components are row-contiguous (any 4/8-connected path changes row by
+# <= 1), so walking bands downward from the root's row until a band's
+# last row holds no member pixels provably covers the blob.
+_STATS_BAND = 128
+
+
 def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
                        scan_steps=None):
     """Single fused kernel: preprocess + fill + CCL + per-blob stats in
@@ -512,6 +654,14 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
     BT.601 mix AND the per-slot b/g/r sums (5 instead of 8 stat
     reductions, 1 instead of 4 bbox-window sums — the reference scores
     color 0.5 on gray input, detectors/contamination_detector.py:157).
+
+    For H >= 2 * _STATS_BAND the per-slot statistics run on dynamic
+    [_STATS_BAND, W] row bands loaded from a VMEM scratch plane (labels
+    packed with the boundary flag) and from frame_ref — each slot touches
+    only the band(s) its blob occupies instead of the full plane, which
+    cuts the dominant per-slot reduction cost by ~H/_STATS_BAND for the
+    typical small blob.  Smaller frames keep the full-plane loop (the
+    banded machinery cannot pay for itself there).
     """
     sentinel = H * W
     taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
@@ -519,8 +669,12 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
     ph = 1 << math.ceil(math.log2(max(H, 2)))
     pw = 1 << math.ceil(math.log2(max(W, 2)))
     with_color = C == 3
+    # banding needs 32-aligned dynamic loads (u8 sublane tile), so the
+    # clamped band start H - _STATS_BAND must itself be 32-aligned
+    banded_stats = H >= 2 * _STATS_BAND and H % 32 == 0
 
-    def kernel(ct_ref, frame_ref, sums_ref, bbox_ref, bgsum_ref, meta_ref):
+    def kernel(ct_ref, frame_ref, sums_ref, bbox_ref, bgsum_ref, meta_ref,
+               *scratch):
         row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
         if with_color:
@@ -562,6 +716,128 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
         ypack = row_idx * pw + col_idx
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (N_SUMS, K), 1)
         lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, K), 1)
+
+        if banded_stats:
+            aux_ref, = scratch
+            # one scratch plane carries labels AND the boundary flag:
+            # lab < sentinel = H*W < 2^30 for every VMEM-resident frame
+            aux_ref[:, :] = lab + (boundary << 30)
+            HB = _STATS_BAND
+            col_b = jax.lax.broadcasted_iota(jnp.int32, (HB, W), 1)
+            lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            CF = 4 if with_color else 1
+
+            def load_feats(r0):
+                if with_color:
+                    bb = frame_ref[0, 0, pl.ds(r0, HB), :].astype(jnp.int32)
+                    gb = frame_ref[0, 1, pl.ds(r0, HB), :].astype(jnp.int32)
+                    rb = frame_ref[0, 2, pl.ds(r0, HB), :].astype(jnp.int32)
+                    grayb = (bb * 3735 + gb * 19235 + rb * 9798
+                             + (1 << 14)) >> 15
+                    return grayb, bb, gb, rb
+                grayb = frame_ref[0, 0, pl.ds(r0, HB), :].astype(jnp.int32)
+                return (grayb,)
+
+            def slot_body(k, carry):
+                sums, bboxes, bgsums, prev = carry
+                root_label = jnp.min(jnp.where(root_lin > prev, root_lin,
+                                               sentinel))
+                valid = root_label < sentinel
+                y0 = root_label // W
+                # first band: align down to the u8 sublane tile (32) so
+                # every dynamic load is tile-aligned; clamp into range
+                r0_0 = jnp.minimum((y0 >> 5) << 5, H - HB)
+
+                def bcond(c):
+                    return c[0] > 0
+
+                def bbody(c):
+                    (_, r0, low, acc8, xpmn, xpmx, ypmx, cs) = c
+                    r0 = pl.multiple_of(r0, 32)
+                    v = aux_ref[pl.ds(r0, HB), :]
+                    lab_b = v & ((1 << 30) - 1)
+                    bnd_b = v >> 30
+                    row_b = r0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (HB, W), 0)
+                    # `low` excludes rows a previous (clamped) band
+                    # already accumulated
+                    m = (lab_b == root_label) & valid & (row_b >= low)
+                    mi = m.astype(jnp.int32)
+                    feats = load_feats(r0)
+                    stat_col = jnp.concatenate(
+                        [jnp.sum(mi).reshape(1, 1),
+                         jnp.sum(mi * bnd_b).reshape(1, 1),
+                         jnp.sum(mi * col_b).reshape(1, 1),
+                         jnp.sum(mi * row_b).reshape(1, 1)]
+                        + [jnp.sum(mi * f).reshape(1, 1) for f in feats],
+                        axis=0)                          # [4 + CF, 1]
+                    acc8 = acc8 + stat_col
+                    xpackb = col_b * ph + row_b
+                    ypackb = row_b * pw + col_b
+                    xpmn = jnp.minimum(
+                        xpmn, jnp.min(jnp.where(m, xpackb, 1 << 30)))
+                    xpmx = jnp.maximum(
+                        xpmx, jnp.max(jnp.where(m, xpackb, -1)))
+                    yb = jnp.max(jnp.where(m, ypackb, -1))
+                    ypmx = jnp.maximum(ypmx, yb)
+                    # rows of the bbox window inside THIS band: every row
+                    # in [y0, y1] holds a member pixel (row-contiguous
+                    # component), so the in-box rows here are exactly
+                    # [max(y0, low), this band's last member row]
+                    y1b = yb // pw
+                    inrow = ((row_b >= jnp.maximum(y0, low))
+                             & (row_b <= y1b)).astype(jnp.int32)
+                    cs = cs + jnp.concatenate(
+                        [jnp.sum(inrow * f, axis=0, keepdims=True)
+                         for f in feats], axis=0)        # [CF, W]
+                    # blob continues iff its pixels reach the band's last
+                    # row AND the frame continues below
+                    last = jax.lax.slice_in_dim(mi, HB - 1, HB, axis=0)
+                    go = (jnp.max(last) > 0) & (r0 + HB < H)
+                    return (go.astype(jnp.int32),
+                            jnp.minimum(r0 + HB, H - HB), r0 + HB,
+                            acc8, xpmn, xpmx, ypmx, cs)
+
+                init = (jnp.int32(1), r0_0, jnp.int32(0),
+                        jnp.zeros((4 + CF, 1), jnp.int32),
+                        jnp.int32(1 << 30), jnp.int32(-1), jnp.int32(-1),
+                        jnp.zeros((CF, W), jnp.int32))
+                (_, _, _, acc8, xp_min, xp_max, yp_max,
+                 cs) = jax.lax.while_loop(bcond, bbody, init)
+
+                zero = jnp.zeros((1, 1), jnp.int32)
+                stat_col = (jnp.concatenate([acc8, zero, zero, zero],
+                                            axis=0)
+                            if not with_color else acc8)  # [8, 1]
+                sums = sums + jnp.where(lane8 == k, stat_col, 0)
+
+                x0 = xp_min // ph
+                x1 = xp_max // ph
+                y1 = yp_max // pw
+                bbox_col = jnp.concatenate(
+                    [x0.reshape(1, 1), y0.reshape(1, 1),
+                     x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)
+                bboxes = jnp.where(lane4 == k, bbox_col, bboxes)
+
+                colmask = ((lane_w >= x0) & (lane_w <= x1)).astype(
+                    jnp.int32)
+                bg4 = jnp.sum(cs * colmask, axis=1, keepdims=True)
+                bg_col = (jnp.concatenate([bg4, zero, zero, zero], axis=0)
+                          if not with_color else bg4)     # [4, 1]
+                bgsums = bgsums + jnp.where(lane4 == k, bg_col, 0)
+                return sums, bboxes, bgsums, root_label
+
+            sums, bboxes, bgsums, _ = jax.lax.fori_loop(
+                0, jnp.minimum(n_blobs, K), slot_body,
+                (jnp.zeros((N_SUMS, K), jnp.int32),
+                 jnp.zeros((4, K), jnp.int32),
+                 jnp.zeros((4, K), jnp.int32),
+                 jnp.int32(-1)))
+            sums_ref[0] = sums
+            bbox_ref[0] = bboxes
+            bgsum_ref[0] = bgsums
+            meta_ref[0] = jnp.full((1, 1), n_blobs, jnp.int32)
+            return
 
         def slot_body(k, carry):
             sums, bboxes, bgsums, prev = carry
@@ -674,6 +950,10 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
             pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # banded-stats scratch: labels + boundary packed in one plane
+        # (see _make_fused_kernel) — only for frames tall enough to band
+        scratch_shapes=([pltpu.VMEM((H, W), jnp.int32)]
+                        if H >= 2 * _STATS_BAND else []),
     )
     sums, bbox, bgsum, meta = pl.pallas_call(
         kernel,

@@ -117,6 +117,142 @@ def body_mxu_cumsum(v, _i):
     return out.astype(v.dtype) & jnp.asarray(63, v.dtype)
 
 
+# --- setup-once variants: factory builds per-kernel constants (masks) ---
+# The r4 scan-step redesign candidates: the measured 0.387 us/op of the
+# iota-masked roll step is ~80% iota+where (or_roll with no fill is
+# 0.062), so these replace the per-step fill with constants computed ONCE
+# per kernel and reused by every step (loop-invariant captures).
+
+def factory_masked_min_step(shape, dtype):
+    # fwd min-scan step: roll + add(precomputed [1, W] edge mask) + min
+    W_ = shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    mask = jnp.where(idx < 1, jnp.asarray(1 << 30, dtype), 0)
+
+    def step(v):
+        return jnp.minimum(v, pltpu.roll(v, 1, 1) + mask)
+    return step
+
+
+def factory_masked_ladder5(shape, dtype):
+    # a full 5-step doubling ladder (distances 1..16), masks precomputed
+    W_ = shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    masks = [jnp.where(idx < (1 << k), jnp.asarray(1 << 30, dtype), 0)
+             for k in range(5)]
+
+    def step(v):
+        for k, m in enumerate(masks):
+            v = jnp.minimum(v, pltpu.roll(v, 1 << k, 1) + m)
+        return v
+    return step
+
+
+def factory_nbmin_guard(shape, dtype):
+    # 8-neighbour min with guard-row scheme: lane rolls masked by
+    # precomputed [1, W] adds, sublane rolls UNFILLED (guard rows absorb
+    # the wrap) — cost model only, correctness needs the guard rows
+    H_, W_ = shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    m_l = jnp.where(idx < 1, jnp.asarray(1 << 24, dtype), 0)
+    m_r = jnp.where(idx >= W_ - 1, jnp.asarray(1 << 24, dtype), 0)
+
+    def step(v):
+        row = jnp.minimum(v, jnp.minimum(pltpu.roll(v, 1, 1) + m_l,
+                                         pltpu.roll(v, W_ - 1, 1) + m_r))
+        return jnp.minimum(row, jnp.minimum(pltpu.roll(row, 1, 0),
+                                            pltpu.roll(row, H_ - 1, 0)))
+    return step
+
+
+def factory_nbmin_masked_sub(shape, dtype):
+    # the shipped r4 nbmin: masked-add lane rolls + iota-where sublanes
+    H_, W_ = shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    m_l = jnp.where(idx < 1, jnp.asarray(1 << 24, dtype), 0)
+    m_r = jnp.where(idx >= W_ - 1, jnp.asarray(1 << 24, dtype), 0)
+    s = jnp.asarray(63, dtype)
+
+    def sub_shift(x, sh):
+        rolled = pltpu.roll(x, sh % H_, 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        if sh > 0:
+            return jnp.where(ri < sh, s, rolled)
+        return jnp.where(ri >= H_ + sh, s, rolled)
+
+    def step(v):
+        row = jnp.minimum(v, jnp.minimum(pltpu.roll(v, 1, 1) + m_l,
+                                         pltpu.roll(v, W_ - 1, 1) + m_r))
+        return jnp.minimum(row, jnp.minimum(sub_shift(row, 1),
+                                            sub_shift(row, -1)))
+    return step
+
+
+def factory_or_and_mask(shape, dtype):
+    # flood grow lane step: roll + and(precomputed keep mask) + or
+    W_ = shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    keep = jnp.where(idx < 1, 0, -1).astype(dtype)
+
+    def step(v):
+        return v | (pltpu.roll(v, 1, 1) & keep)
+    return step
+
+
+def factory_max_ladder_full(shape, dtype):
+    # full-width 10-step max ladder (the flood's row phase), masked adds
+    W_ = shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    masks = [jnp.where(idx < (1 << k), jnp.asarray(-(1 << 22), dtype), 0)
+             for k in range(10)]
+
+    def step(v):
+        for k, m in enumerate(masks):
+            v = jnp.maximum(v, pltpu.roll(v, 1 << k, 1) + m)
+        return v
+    return step
+
+
+def factory_sublane_mask_add(shape, dtype):
+    # does a [H, 1] -> [H, W] lane-broadcast add lower?  (CLAUDE.md notes
+    # 3-D minor-dim broadcasts crash Mosaic; probe the 2-D case)
+    H_ = shape[0]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (H_, 1), 0)
+    mask = jnp.where(ridx < 1, jnp.asarray(1 << 24, dtype), 0)
+
+    def step(v):
+        return jnp.minimum(v, pltpu.roll(v, 1, 0) + mask)
+    return step
+
+
+def factory_cumsum_ladder(shape, dtype):
+    # 10-step doubling prefix sum with and-masked rolls — candidate
+    # replacement for the 2.44 us mxu_cumsum run-pack matmul
+    W_ = shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, W_), 1)
+    keeps = [jnp.where(idx < (1 << k), 0, -1).astype(dtype)
+             for k in range(10)]
+
+    def step(v):
+        v = v & 1                      # keep the carry bounded
+        for k, m in enumerate(keeps):
+            v = v + (pltpu.roll(v, 1 << k, 1) & m)
+        return v
+    return step
+
+
+FACTORY_VARIANTS = [
+    ("cumsum_ladder", factory_cumsum_ladder, jnp.int32, H),
+    ("masked_min_step", factory_masked_min_step, jnp.int32, H),
+    ("masked_ladder5", factory_masked_ladder5, jnp.int32, H),
+    ("nbmin_guard", factory_nbmin_guard, jnp.int32, H),
+    ("nbmin_masked_sub", factory_nbmin_masked_sub, jnp.int32, H),
+    ("or_and_mask", factory_or_and_mask, jnp.int32, H),
+    ("max_ladder_full", factory_max_ladder_full, jnp.int32, H),
+    ("sublane_mask_add", factory_sublane_mask_add, jnp.int32, H),
+]
+
+
 VARIANTS = [
     # (name, body, dtype, plane_sublanes)
     ("min_scan_step", body_min_scan_step, jnp.int32, H),
@@ -141,12 +277,17 @@ VARIANTS = [
 ]
 
 
-def make_call(body, dtype, sub, iters):
+def make_call(body, dtype, sub, iters, factory=False):
     def kernel(x_ref, o_ref):
         v = x_ref[0]
+        if factory:
+            step = body(v.shape, v.dtype)   # masks built ONCE per kernel
 
-        def loop(i, c):
-            return body(c, i)
+            def loop(i, c):
+                return step(c)
+        else:
+            def loop(i, c):
+                return body(c, i)
 
         v = jax.lax.fori_loop(0, iters, loop, v)
         # tiny output: one lane row so the store is negligible either way
@@ -175,12 +316,20 @@ def time_call(fn, x):
 
 
 def main():
-    quick = "quick" in sys.argv[1:]
+    args = sys.argv[1:]
+    quick = "quick" in args
+    only = None
+    if "only" in args:
+        only = set(args[args.index("only") + 1].split(","))
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", file=sys.stderr)
     rng = np.random.RandomState(0)
     results = []
-    for name, body, dtype, sub in VARIANTS:
+    todo = ([(n, b, d, s, False) for n, b, d, s in VARIANTS]
+            + [(n, b, d, s, True) for n, b, d, s in FACTORY_VARIANTS])
+    for name, body, dtype, sub, fac in todo:
+        if only is not None and name not in only:
+            continue
         if quick and dtype not in (jnp.int32, jnp.int16):
             continue
         dt_name = np.dtype(dtype).name
@@ -188,8 +337,8 @@ def main():
         x = jax.device_put(
             rng.randint(0, lim, (B, sub, W)).astype(dtype), dev)
         try:
-            f_lo = jax.jit(make_call(body, dtype, sub, N_LO))
-            f_hi = jax.jit(make_call(body, dtype, sub, N_HI))
+            f_lo = jax.jit(make_call(body, dtype, sub, N_LO, factory=fac))
+            f_hi = jax.jit(make_call(body, dtype, sub, N_HI, factory=fac))
             t_lo = time_call(f_lo, x)
             t_hi = time_call(f_hi, x)
         except Exception as e:  # lowering rejection is a finding, not a bug
