@@ -346,11 +346,17 @@ def main():
                 xi, _acc = carry
                 a, _conf = run(xi)
                 na = jnp.sum(a.astype(jnp.int32))
-                # serialize iterations: na >= 0 always holds at runtime but
-                # XLA cannot prove it, so every iteration depends on the
-                # previous result and none can be elided or overlapped
-                xn = jnp.where(na < 0, xi ^ 1, xi)
-                return xn, na
+                # serialize iterations with a dependence XLA cannot fold:
+                # the raw BITS of the confidence sum (bitcast) have no
+                # provable range, unlike a sum of 0/1 casts (whose >= 0
+                # bound XLA's range analysis DID prove in r4, folding the
+                # select and CSE-ing the loop body — the measured "cost"
+                # collapsed to jitter).  The NaN bit pattern 0x7fffffff
+                # never arises from summing finite confidences, so xi is
+                # unchanged at runtime but formally iteration-dependent.
+                d = jax.lax.bitcast_convert_type(jnp.sum(_conf), jnp.int32)
+                xn = jnp.where(d == jnp.int32(0x7FFFFFFF), xi ^ 1, xi)
+                return xn, na + d
             return jax.lax.fori_loop(0, n, body, (x, jnp.int32(0)))[1]
 
         n_hi = jnp.int32(65)

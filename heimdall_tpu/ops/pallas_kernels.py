@@ -723,7 +723,6 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
             # lab < sentinel = H*W < 2^30 for every VMEM-resident frame
             aux_ref[:, :] = lab + (boundary << 30)
             HB = _STATS_BAND
-            col_b = jax.lax.broadcasted_iota(jnp.int32, (HB, W), 1)
             lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
             CF = 4 if with_color else 1
 
@@ -752,7 +751,7 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
                     return c[0] > 0
 
                 def bbody(c):
-                    (_, r0, low, acc8, xpmn, xpmx, ypmx, cs) = c
+                    (_, r0, low, acc8, xmn, xmx, ymx, cs) = c
                     r0 = pl.multiple_of(r0, 32)
                     v = aux_ref[pl.ds(r0, HB), :]
                     lab_b = v & ((1 << 30) - 1)
@@ -764,27 +763,32 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
                     m = (lab_b == root_label) & valid & (row_b >= low)
                     mi = m.astype(jnp.int32)
                     feats = load_feats(r0)
+                    # column/row marginals: col depends only on the lane
+                    # and row only on the sublane, so ONE col-reduce +
+                    # ONE row-reduce give the pixel count, both moment
+                    # sums AND all four bbox extrema
+                    csum = jnp.sum(mi, axis=0, keepdims=True)   # [1, W]
+                    rsum = jnp.sum(mi, axis=1, keepdims=True)   # [HB, 1]
+                    rpos = r0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (HB, 1), 0)
                     stat_col = jnp.concatenate(
-                        [jnp.sum(mi).reshape(1, 1),
+                        [jnp.sum(csum).reshape(1, 1),
                          jnp.sum(mi * bnd_b).reshape(1, 1),
-                         jnp.sum(mi * col_b).reshape(1, 1),
-                         jnp.sum(mi * row_b).reshape(1, 1)]
+                         jnp.sum(csum * lane_w).reshape(1, 1),
+                         jnp.sum(rsum * rpos).reshape(1, 1)]
                         + [jnp.sum(mi * f).reshape(1, 1) for f in feats],
                         axis=0)                          # [4 + CF, 1]
                     acc8 = acc8 + stat_col
-                    xpackb = col_b * ph + row_b
-                    ypackb = row_b * pw + col_b
-                    xpmn = jnp.minimum(
-                        xpmn, jnp.min(jnp.where(m, xpackb, 1 << 30)))
-                    xpmx = jnp.maximum(
-                        xpmx, jnp.max(jnp.where(m, xpackb, -1)))
-                    yb = jnp.max(jnp.where(m, ypackb, -1))
-                    ypmx = jnp.maximum(ypmx, yb)
+                    xmn = jnp.minimum(
+                        xmn, jnp.min(jnp.where(csum > 0, lane_w, W)))
+                    xmx = jnp.maximum(
+                        xmx, jnp.max(jnp.where(csum > 0, lane_w, -1)))
+                    y1b = jnp.max(jnp.where(rsum > 0, rpos, -1))
+                    ymx = jnp.maximum(ymx, y1b)
                     # rows of the bbox window inside THIS band: every row
                     # in [y0, y1] holds a member pixel (row-contiguous
                     # component), so the in-box rows here are exactly
                     # [max(y0, low), this band's last member row]
-                    y1b = yb // pw
                     inrow = ((row_b >= jnp.maximum(y0, low))
                              & (row_b <= y1b)).astype(jnp.int32)
                     cs = cs + jnp.concatenate(
@@ -792,17 +796,17 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
                          for f in feats], axis=0)        # [CF, W]
                     # blob continues iff its pixels reach the band's last
                     # row AND the frame continues below
-                    last = jax.lax.slice_in_dim(mi, HB - 1, HB, axis=0)
+                    last = jax.lax.slice_in_dim(rsum, HB - 1, HB, axis=0)
                     go = (jnp.max(last) > 0) & (r0 + HB < H)
                     return (go.astype(jnp.int32),
                             jnp.minimum(r0 + HB, H - HB), r0 + HB,
-                            acc8, xpmn, xpmx, ypmx, cs)
+                            acc8, xmn, xmx, ymx, cs)
 
                 init = (jnp.int32(1), r0_0, jnp.int32(0),
                         jnp.zeros((4 + CF, 1), jnp.int32),
-                        jnp.int32(1 << 30), jnp.int32(-1), jnp.int32(-1),
+                        jnp.int32(W), jnp.int32(-1), jnp.int32(-1),
                         jnp.zeros((CF, W), jnp.int32))
-                (_, _, _, acc8, xp_min, xp_max, yp_max,
+                (_, _, _, acc8, x0, x1, y1,
                  cs) = jax.lax.while_loop(bcond, bbody, init)
 
                 zero = jnp.zeros((1, 1), jnp.int32)
@@ -810,10 +814,6 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
                                             axis=0)
                             if not with_color else acc8)  # [8, 1]
                 sums = sums + jnp.where(lane8 == k, stat_col, 0)
-
-                x0 = xp_min // ph
-                x1 = xp_max // ph
-                y1 = yp_max // pw
                 bbox_col = jnp.concatenate(
                     [x0.reshape(1, 1), y0.reshape(1, 1),
                      x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)

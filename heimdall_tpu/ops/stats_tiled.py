@@ -126,8 +126,6 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
         b = pl.program_id(0)
         r = pl.program_id(1)
         lab = lab_ref[0]
-        row = jax.lax.broadcasted_iota(jnp.int32, (band, W), 0) + r * band
-        col = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
         grayi = gray_ref[0].astype(jnp.int32)
         bndi = bnd_ref[0].astype(jnp.int32)
         if with_color:
@@ -146,17 +144,26 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
                                 jnp.where(sub4 == 1, H, -1))
             bbox_ref[0] = neutral.astype(jnp.int32)
 
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        sub_h = jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
+
         def slot_body(t, carry):
             sums, bboxes = carry
             k = sl_ref[b, r, t] if with_slots else t
             root = rl_ref[b, k]
             m = lab == root
             mi = m.astype(jnp.int32)
+            # column/row marginals: col depends only on the lane and row
+            # only on the sublane, so ONE col-reduce + ONE row-reduce
+            # replace the x/y moment mul-reduces, the pixel count AND all
+            # four bbox extrema (full-band passes -> [1,W]/[band,1] ops)
+            csum = jnp.sum(mi, axis=0, keepdims=True)          # [1, W]
+            rsum = jnp.sum(mi, axis=1, keepdims=True)          # [band, 1]
             cols = [
-                jnp.sum(mi).reshape(1, 1),
+                jnp.sum(csum).reshape(1, 1),
                 jnp.sum(mi * bndi).reshape(1, 1),
-                jnp.sum(mi * col).reshape(1, 1),
-                jnp.sum(mi * row).reshape(1, 1),
+                jnp.sum(csum * lane_w).reshape(1, 1),
+                jnp.sum(rsum * (sub_h + r * band)).reshape(1, 1),
                 jnp.sum(mi * grayi).reshape(1, 1),
             ]
             if with_color:
@@ -166,10 +173,10 @@ def _make_banded_stats_kernel(band, W, K, n_bands, sentinel, with_color,
             stat_col = jnp.concatenate(cols, axis=0)          # [S, 1]
             sums = sums + jnp.where(laneS == k, stat_col, 0)
 
-            x0 = jnp.min(jnp.where(m, col, W))
-            y0 = jnp.min(jnp.where(m, row, H))
-            x1 = jnp.max(jnp.where(m, col, -1))
-            y1 = jnp.max(jnp.where(m, row, -1))
+            x0 = jnp.min(jnp.where(csum > 0, lane_w, W))
+            x1 = jnp.max(jnp.where(csum > 0, lane_w, -1))
+            y0 = jnp.min(jnp.where(rsum > 0, sub_h + r * band, H))
+            y1 = jnp.max(jnp.where(rsum > 0, sub_h + r * band, -1))
             new_col = jnp.concatenate(
                 [x0.reshape(1, 1), y0.reshape(1, 1),
                  x1.reshape(1, 1), y1.reshape(1, 1)], axis=0)  # [4, 1]

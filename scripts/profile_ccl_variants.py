@@ -219,7 +219,13 @@ def main():
                   flush=True)
             continue
         if name == "warm":
+            # the first pipelined timing loop of a process absorbs a
+            # large one-off cost (~0.25 ms/frame at batch 256) — burn it
+            # on an untimed loop so every variant below is comparable
             ref = got
+            infl = [fn(cm) for _ in range(iters)]
+            np.asarray(infl[-1][0, 0])
+            del infl
             continue
         if ref is None:
             ref = got
