@@ -154,7 +154,8 @@ def contamination_program(images: jnp.ndarray,
                                  slot_list=slot_list,
                                  slot_count=slot_count, interpret=interp,
                                  frame_h=fh,
-                                 channel_major=color is not None)
+                                 channel_major=color is not None,
+                                 stats_band=3 * band)
         if fh is not None and return_labels:
             labels = labels[:, :H]
     else:

@@ -860,15 +860,13 @@ def _make_flood_kernel(Th, W, n_bands):
         seed = ext0 | (jnp.where(row_i == 0, jnp.tile(top, (Th, 1)), 0)
                        | jnp.where(row_i == Th - 1,
                                    jnp.tile(bot, (Th, 1)), 0)) & bg
-        mk_r = _EdgeMasks(W)
-        mk_t = _EdgeMasks(Th)
+        mk_r = None
+        mk_t = None
 
         def grow4(e, b, mk):
-            # on 0/1 planes OR == max; -_PEN zero-fills wrapped lanes
-            row = jnp.maximum(jnp.maximum(e, _roll_lane(e, 1) - mk.pen_f[0]),
-                              _roll_lane(e, -1) - mk.pen_b[0])
-            g = jnp.maximum(row, jnp.maximum(_shift_const(e, 1, 0, 0),
-                                             _shift_const(e, -1, 0, 0)))
+            g = e
+            for sft, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+                g = g | _shift_const(e, sft, axis, 0)
             return g & b
 
         def phase(e, rb, b, mk, ms=None):

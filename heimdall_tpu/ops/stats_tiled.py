@@ -293,14 +293,16 @@ def _bbox_sums_banded(bbox, slot_list, slot_count, gray_p, cm, band, W, K,
 
 @functools.partial(jax.jit, static_argnames=("band", "max_blobs",
                                              "use_color", "interpret",
-                                             "frame_h", "channel_major"))
+                                             "frame_h", "channel_major",
+                                             "stats_band"))
 def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
                      max_blobs: int = 64, use_color: bool = True,
                      root_table=None, root_count=None,
                      slot_list=None, slot_count=None,
                      interpret: bool = False,
                      frame_h: int | None = None,
-                     channel_major: bool = False) -> BlobTable:
+                     channel_major: bool = False,
+                     stats_band: int | None = None) -> BlobTable:
     """Banded-kernel equivalent of ops.blobs.blob_stats.
 
     labels/mask/gray: [B, H, W] (labels int32, background = H*W);
@@ -315,6 +317,13 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     (pad rows: sentinel / False / anything), true height frame_h; skips
     every per-plane pad here.  ``channel_major``: color is [B, 3, H(p), W]
     (the shared transposed layout) — skips the NHWC relayout.
+
+    ``stats_band``: run the STATS kernels on coarser bands than the CCL
+    produced incidence for (measured v5e: flood/CCL want 128-row bands
+    but the stats kernels' per-band fixed cost favors larger — 256 was
+    ~21% cheaper at 2 MP).  Used when it is a multiple of ``band`` that
+    also divides the padded height (so the shared layout survives);
+    incidence lists are coarsened to band groups with cheap XLA glue.
     """
     B, H, W = labels.shape
     padded_io = frame_h is not None
@@ -325,6 +334,27 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
     else:
         R = -(-H // band)
         Hp = R * band
+    if (stats_band and stats_band > band and stats_band % band == 0
+            and Hp % stats_band == 0
+            and slot_list is not None and slot_count is not None):
+        F = stats_band // band
+        Rc = Hp // stats_band
+        K_ = slot_list.shape[2]
+        # coarsen per-band incidence to band GROUPS: presence bitmap via
+        # one-hot over slot ids, OR across each group, then compact the
+        # set bits back to a list (argsort of ~present is stable, so
+        # True positions come first in ascending slot order)
+        t_i = jnp.arange(K_)[None, None, :]
+        occupied = t_i < slot_count.astype(jnp.int32)[:, :, None]
+        oh = (jax.nn.one_hot(slot_list.astype(jnp.int32), K_,
+                             dtype=jnp.bool_)
+              & occupied[..., None])                       # [B, R, K, K]
+        present = oh.any(axis=2)                           # [B, R, K]
+        present = present.reshape(B, Rc, F, K_).any(axis=2)
+        slot_count = present.sum(axis=-1).astype(jnp.int32)
+        slot_list = jnp.argsort(~present, axis=-1,
+                                stable=True).astype(jnp.int32)
+        band, R = stats_band, Rc
     # int32 accumulator bound (see _make_banded_stats_kernel): the X-sum of
     # a whole-frame blob is H * W*(W-1)/2; must fit int32.  Holds through
     # the 2 MP design point (1920x1080 -> 2.0e9); ~2.2 MP is the limit.

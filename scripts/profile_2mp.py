@@ -45,6 +45,7 @@ def main():
         contamination_program)
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    band = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     frames = make_frames(B, 1080, 1920, seed=2)
     x = jax.device_put(frames, jax.devices()[0])
     ct = jnp.int32(15)
@@ -61,21 +62,21 @@ def main():
               f"{dt/B*1000:6.3f} ms/frame", flush=True)
         return out
 
-    # band=128 everywhere: what the detector actually runs
+    # band=band everywhere: what the detector actually runs
     # (contamination_detector.py clamps tiled_band=256 to 128)
     binary, gray = timeit(
         "banded preprocess kernel",
-        lambda x_: contamination_preprocess_tiled(x_, ct, band=128), x)
+        lambda x_: contamination_preprocess_tiled(x_, ct, band=band), x)
     mask = timeit("banded OR-flood fill",
-                  lambda b: fill_holes_tiled(b > 0, band=128,
+                  lambda b: fill_holes_tiled(b > 0, band=band,
                                              adaptive=True), binary)
     lab, rl, nb, sl, sc = timeit(
         "fixpoint band CCL +roots+slots",
         lambda m: connected_components_tiled(
-            m, connectivity=8, band=128, adaptive=True, return_roots=64,
+            m, connectivity=8, band=band, adaptive=True, return_roots=64,
             band_slots=True), mask)
     timeit("incidence-bounded stats",
-           lambda: blob_stats_tiled(lab, mask, gray, x, band=128,
+           lambda: blob_stats_tiled(lab, mask, gray, x, band=band,
                                     max_blobs=64, root_table=rl,
                                     root_count=nb, slot_list=sl,
                                     slot_count=sc))

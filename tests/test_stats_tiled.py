@@ -168,3 +168,30 @@ def test_stats_tiled_chunked_batch_matches():
     ref = blobs_mod.blob_stats(labels, mask, jnp.asarray(gray),
                                jnp.asarray(color), max_blobs=16)
     _tables_equal(ref, got)
+
+
+@pytest.mark.parametrize("use_color", [True, False])
+def test_stats_tiled_coarse_stats_band(use_color):
+    """stats_band coarsening: stats kernels on 3x-wider bands than the
+    CCL's incidence lists, via the one-hot group-OR list coarsening.
+    Shape chosen so Hp (= 96) is divisible by both band (16) and
+    stats_band (48) — the eligibility gate the 2 MP path hits
+    (Hp 1152 = 9*128 = 3*384)."""
+    h, w = 96, 64
+    mask, gray, color = _scene(2, h, w, 7, seed=31 + use_color)
+    mask = jnp.asarray(fill_holes(jnp.asarray(mask)))
+    labels = connected_components(mask)
+    _, rl, nb, sl, sc = connected_components_tiled(
+        mask, band=16, sweeps=2, adaptive=True, interpret=INTERP,
+        return_roots=16, band_slots=True)
+    base = blob_stats_tiled(labels, mask, jnp.asarray(gray),
+                            jnp.asarray(color), band=16, max_blobs=16,
+                            use_color=use_color, root_table=rl,
+                            root_count=nb, slot_list=sl, slot_count=sc,
+                            interpret=INTERP)
+    coarse = blob_stats_tiled(labels, mask, jnp.asarray(gray),
+                              jnp.asarray(color), band=16, max_blobs=16,
+                              use_color=use_color, root_table=rl,
+                              root_count=nb, slot_list=sl, slot_count=sc,
+                              interpret=INTERP, stats_band=48)
+    _tables_equal(base, coarse)
