@@ -175,6 +175,21 @@ def _conv_axis(x, taps, axis, mode):
     return out
 
 
+def _conv_axis_pair_int(x, taps, axis, mode):
+    """Integer correlation with symmetric taps: t*(a+b) pairing halves
+    the multiplies.  EXACT for integers (distributivity holds; int adds
+    commute) — measured -1.4 us/frame on the fused preprocess (r4
+    scripts/profile_pre_variants.py).  NOT for floats: (a+b)*t rounds
+    differently than a*t + b*t, which would break XLA-path bit parity."""
+    r = len(taps) // 2
+    assert all(taps[i] == taps[-1 - i] for i in range(r)), taps
+    acc = taps[r] * x
+    for d in range(1, r + 1):
+        acc = acc + taps[r - d] * (_shift(x, d, axis, mode)
+                                   + _shift(x, -d, axis, mode))
+    return acc
+
+
 def _minmax3(x, is_min, mk=None):
     """3x3 erode/dilate with OpenCV constant border (255 / 0).
 
@@ -515,8 +530,9 @@ def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None):
         r = frame_ref[0, 2].astype(jnp.int32)
 
         gray = (b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15
-        acc = _conv_axis(_conv_axis(gray, taps5, 1, "reflect101"),
-                         taps5, 0, "reflect101")
+        acc = _conv_axis_pair_int(
+            _conv_axis_pair_int(gray, taps5, 1, "reflect101"),
+            taps5, 0, "reflect101")
         blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
         mf = _conv_axis(_conv_axis(blurred.astype(jnp.float32), k11, 1,
                                    "replicate"), k11, 0, "replicate")
@@ -685,8 +701,9 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
         else:
             gray = frame_ref[0, 0].astype(jnp.int32)
             b = g = r = gray
-        acc = _conv_axis(_conv_axis(gray, taps5, 1, "reflect101"),
-                         taps5, 0, "reflect101")
+        acc = _conv_axis_pair_int(
+            _conv_axis_pair_int(gray, taps5, 1, "reflect101"),
+            taps5, 0, "reflect101")
         blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
         mf = _conv_axis(_conv_axis(blurred.astype(jnp.float32), k11, 1,
                                    "replicate"), k11, 0, "replicate")

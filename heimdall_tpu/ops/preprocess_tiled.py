@@ -40,7 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from heimdall_tpu.ops.filters import gaussian_kernel_1d, _q8_taps
-from heimdall_tpu.ops.pallas_kernels import _conv_axis, _shift, _shift_const
+from heimdall_tpu.ops.pallas_kernels import (_conv_axis,
+                                             _conv_axis_pair_int,
+                                             _shift, _shift_const)
 
 HALO = 16          # >= total stencil radius 11, sublane-aligned
 
@@ -108,8 +110,8 @@ def _make_preprocess_kernel(band, W, H, R):
             for rr, p in bot_bands:
                 if 0 <= p + i < E and 0 <= p - i:
                     g = _row_fix(g, p + i, p - i, r == rr)
-        acc = _conv_axis(g, taps5, 1, "reflect101")      # cols: frame edges
-        acc = _conv_axis(acc, taps5, 0, "constant")      # rows: halo covers
+        acc = _conv_axis_pair_int(g, taps5, 1, "reflect101")  # cols: edges
+        acc = _conv_axis_pair_int(acc, taps5, 0, "constant")   # rows: halo
         blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
 
         # -- adaptive threshold: float mean11 with replicate borders --------

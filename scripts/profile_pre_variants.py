@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Bisect the preprocess stage (28 us/frame of the 132 us headline):
+time the preprocess-only kernel with one ingredient swapped at a time.
+
+Variants:
+  cur        shipped preprocess (_conv_axis with concat-based _shift)
+  roll_conv  convolutions via pure lane/sublane rolls over the interior
+             with an exact border FIXUP band (the border rows/cols are
+             recomputed with the original concat-shift formula and
+             spliced back, so every output position sees the identical
+             f32/int op sequence — bit-parity preserved by construction)
+  pair_sym   symmetric tap pairing t*(a+b) — EXACT for the int Q8 blur;
+             NOT applied to the f32 conv (different rounding would break
+             XLA-path parity), so this measures the int-blur share only
+
+Usage: python scripts/profile_pre_variants.py [batch] [iters] [only...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bench import make_frames
+    from heimdall_tpu.ops import pallas_kernels as pk
+    from heimdall_tpu.ops.filters import gaussian_kernel_1d, _q8_taps
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3:])
+    frames = make_frames(batch)
+    H, W = frames.shape[1], frames.shape[2]
+    dev = jax.devices()[0]
+    print(f"device: {dev}  batch={batch} iters={iters}", flush=True)
+
+    cm = jax.device_put(
+        jnp.transpose(jnp.asarray(frames), (0, 3, 1, 2)), dev)
+    ct = jnp.asarray(15, jnp.int32).reshape(1)
+    taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
+    k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
+
+    def conv_roll(x, taps, axis, mode):
+        """_conv_axis with roll-based interior + exact border fixup."""
+        r = len(taps) // 2
+        # interior: pure rolls (wrapped values only pollute the border
+        # band, which is overwritten below)
+        out = None
+        for i, t in enumerate(taps):
+            s = r - i
+            rolled = pltpu.roll(x, s % x.shape[axis], axis) if s else x
+            term = t * rolled
+            out = term if out is None else out + term
+        # border band: recompute rows/cols [0, r) and [n-r, n) with the
+        # original concat-shift formula, splice via iota select
+        n = x.shape[axis]
+        fix = None
+        for i, t in enumerate(taps):
+            term = t * pk._shift(x, r - i, axis, mode)
+            fix = term if fix is None else fix + term
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        return jnp.where((idx < r) | (idx >= n - r), fix, out)
+
+    def make_body(conv, pair5):
+        t5 = taps5
+        if pair5:
+            # symmetric pairing, EXACT in int: t*(a+b) == t*a + t*b
+            def blur5(g):
+                def ax(x, axis):
+                    c = pk._shift(x, 0, axis, "reflect101")
+                    acc = t5[2] * c
+                    for d in (1, 2):
+                        acc = acc + t5[2 - d] * (
+                            pk._shift(x, d, axis, "reflect101")
+                            + pk._shift(x, -d, axis, "reflect101"))
+                    return acc
+                return ax(ax(g, 1), 0)
+        else:
+            def blur5(g):
+                return conv(conv(g, t5, 1, "reflect101"), t5, 0,
+                            "reflect101")
+
+        def body(ct_ref, frame_ref):
+            b = frame_ref[0, 0].astype(jnp.int32)
+            g = frame_ref[0, 1].astype(jnp.int32)
+            r = frame_ref[0, 2].astype(jnp.int32)
+            gray = (b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15
+            acc = blur5(gray)
+            blurred = jnp.clip((acc + (1 << 15)) >> 16, 0, 255)
+            mf = conv(conv(blurred.astype(jnp.float32), k11, 1,
+                           "replicate"), k11, 0, "replicate")
+            mean = jnp.rint(mf).astype(jnp.int32)
+            binary = jnp.where(blurred <= mean - ct_ref[0], 255, 0)
+            binary = pk._minmax3(pk._minmax3(binary, True), False)
+            binary = pk._minmax3(pk._minmax3(binary, False), True)
+            return (binary > 0).astype(jnp.int32)
+        return body
+
+    VARIANTS = {
+        "warm": ("cur", dict(conv=pk._conv_axis, pair5=False)),
+        "cur": ("cur", dict(conv=pk._conv_axis, pair5=False)),
+        "roll_conv": ("roll_conv", dict(conv=conv_roll, pair5=False)),
+        "pair_sym": ("pair_sym", dict(conv=pk._conv_axis, pair5=True)),
+        "roll_pair": ("roll_pair", dict(conv=conv_roll, pair5=True)),
+    }
+
+    ref = None
+    for name, (_, cfg) in VARIANTS.items():
+        if only and name not in only and name != "warm":
+            continue
+        body = make_body(**cfg)
+
+        def kernel(ct_ref, frame_ref, out_ref, _body=body):
+            out_ref[0] = _body(ct_ref, frame_ref)
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(batch,),
+            in_specs=[pl.BlockSpec((1, 3, H, W), lambda i, c: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((1, H, W), lambda i, c: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)])
+
+        @jax.jit
+        def run(x, _k=kernel, _gs=gs):
+            return pl.pallas_call(
+                _k, grid_spec=_gs,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                out_shape=(jax.ShapeDtypeStruct((batch, H, W), jnp.int32),),
+            )(ct, x)[0]
+
+        try:
+            out = run(cm)
+            got = np.asarray(out)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
+        if name == "warm":
+            ref = got
+            infl = [run(cm) for _ in range(iters)]
+            np.asarray(infl[-1][0, 0])
+            del infl
+            continue
+        if ref is None:
+            ref = got
+        else:
+            assert (got == ref).all(), f"{name} binary differs!"
+        infl = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            infl.append(run(cm))
+        np.asarray(infl[-1][0, 0])
+        dt = time.perf_counter() - t0
+        del infl
+        print(f"{name:12s} {dt / iters / batch * 1e6:9.1f} us/frame",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
