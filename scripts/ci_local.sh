@@ -22,15 +22,21 @@ EOF
 
 echo "== [2/4] test suite (8 virtual CPU devices) =="
 if [[ "${1:-}" != "--quick" ]]; then
-    # Two pytest processes: one process running the whole suite
+    # THREE pytest processes: one process running the whole suite
     # deterministically SIGSEGVs inside XLA's CPU compiler
-    # (backend_compile_and_load) after ~300 compiled programs, always in
-    # test_stats_tiled — the same tests pass standalone and as a pair
-    # with test_sharding, so it is accumulated compiler state, not test
-    # content. Splitting bounds the per-process compile count well below
-    # the crash point.
+    # (backend_compile_and_load) after ~300 compiled programs — the same
+    # tests pass standalone, so it is accumulated compiler state, not
+    # test content. The r3 two-way split crashed again in r4 when the
+    # suite grew; the Pallas-kernel-heavy suites now get their own
+    # process, bounding every process's compile count well below the
+    # crash point.
+    PALLAS_SUITES=(tests/test_pallas_kernels.py tests/test_ccl_tiled.py
+                   tests/test_preprocess_tiled.py tests/test_banded_stats.py
+                   tests/test_tiled_sp.py)
     python -m pytest tests/ -q \
-        --ignore=tests/test_sharding.py --ignore=tests/test_stats_tiled.py
+        --ignore=tests/test_sharding.py --ignore=tests/test_stats_tiled.py \
+        "${PALLAS_SUITES[@]/#/--ignore=}"
+    python -m pytest "${PALLAS_SUITES[@]}" -q
     python -m pytest tests/test_sharding.py tests/test_stats_tiled.py -q
 else
     python -m pytest tests/test_core.py tests/test_runtime.py -q
