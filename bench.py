@@ -315,13 +315,17 @@ def main():
 
     # The headline is measured; print the driver's JSON line NOW so a
     # failure in any secondary config can never lose the round's number.
+    # It is printed AGAIN as the very last stdout line (r4's driver
+    # tail-parsed stdout and got a secondary line — VERDICT r4 #2): the
+    # early print survives crashes, the final one is what tail parsers see.
     baseline_fps = 100.0  # 90k BPH * 4 cameras / 3600
-    print(json.dumps({
+    headline_json = json.dumps({
         "metric": "contamination_inspection_fps_640x480",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 2),
-    }), flush=True)
+    })
+    print(headline_json, flush=True)
 
     p50_0 = 0.0
     phase("headline done")
@@ -590,6 +594,9 @@ def main():
             f"{e2e_fps:.1f} frames/sec (p50 {p50:.1f} ms/batch; implied "
             f"tunnel rate {small.nbytes/1e6/(p50/1000):.0f} MB/s — this "
             f"line measures the tunnel, not the chip)")
+
+    # final stdout line == the headline JSON (see the early print above)
+    print(headline_json, flush=True)
 
 
 if __name__ == "__main__":

@@ -860,17 +860,19 @@ def _make_flood_kernel(Th, W, n_bands):
         seed = ext0 | (jnp.where(row_i == 0, jnp.tile(top, (Th, 1)), 0)
                        | jnp.where(row_i == Th - 1,
                                    jnp.tile(bot, (Th, 1)), 0)) & bg
-        mk_r = None
-        mk_t = None
 
-        def grow4(e, b, mk):
+        # plain iota-fill shifts throughout: the r4 bisection rejected the
+        # masked-roll ingredients for the flood (scripts/
+        # profile_fill_variants.py) — the 0/1 planes' constant fills are
+        # cheap and the phases are few
+        def grow4(e, b):
             g = e
             for sft, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
                 g = g | _shift_const(e, sft, axis, 0)
             return g & b
 
-        def phase(e, rb, b, mk, ms=None):
-            return _run_or_packed(grow4(e, b, mk), rb, mk, max_steps=ms) & b
+        def phase(e, rb, b, ms=None):
+            return _run_or_packed(grow4(e, b), rb, max_steps=ms) & b
 
         # finer adaptive granularity than the CCL's double sweep: the
         # flood usually completes in 2-3 phases (see pallas_kernels
@@ -890,11 +892,11 @@ def _make_flood_kernel(Th, W, n_bands):
         # outputs identical.
         def sweep1(e):
             bg_t = jnp.transpose(bg)
-            rb_r = _run_pack(bg, 2, mk_r)
-            rb_t = _run_pack(bg_t, 2, mk_t)
-            e = phase(e, rb_r, bg, mk_r)
+            rb_r = _run_pack(bg, 2)
+            rb_t = _run_pack(bg_t, 2)
+            e = phase(e, rb_r, bg)
             et = jnp.transpose(e)
-            et = phase(et, rb_t, bg_t, mk_t, ms=4)
+            et = phase(et, rb_t, bg_t, ms=4)
             return jnp.transpose(et)
 
         def cond(c):
@@ -902,9 +904,9 @@ def _make_flood_kernel(Th, W, n_bands):
 
         def body(c):
             e = sweep1(c[0])
-            return e, jnp.max(grow4(e, bg, mk_r) & (1 - e))
+            return e, jnp.max(grow4(e, bg) & (1 - e))
 
-        pending = jnp.max(grow4(seed, bg, mk_r) & (1 - seed))
+        pending = jnp.max(grow4(seed, bg) & (1 - seed))
         ext, _ = jax.lax.while_loop(cond, body, (seed, pending))
         out_ref[0] = ext.astype(jnp.uint8)
         edge_ref[0, 0] = jnp.concatenate(

@@ -190,20 +190,15 @@ def _conv_axis_pair_int(x, taps, axis, mode):
     return acc
 
 
-def _minmax3(x, is_min, mk=None):
+def _minmax3(x, is_min):
     """3x3 erode/dilate with OpenCV constant border (255 / 0).
 
     Separable (rect kernel): min/max over rows then columns — 4 shifts
-    instead of 12.  With ``mk`` the column shifts are masked rolls: the
-    +-_PEN edge penalty is neutral for the respective reduction exactly
-    like the constant border value (values are 0/255)."""
+    instead of 12.  (A masked-roll variant of the column shifts was
+    bisected in r4 and regressed — scripts/profile_fill_variants.py.)"""
     value = 255 if is_min else 0
     op = jnp.minimum if is_min else jnp.maximum
     r = op(op(x, _shift_const(x, 1, 0, value)), _shift_const(x, -1, 0, value))
-    if mk is not None:
-        s = 1 if is_min else -1
-        return op(op(r, _roll_lane(r, 1) + s * mk.pen_f[0]),
-                  _roll_lane(r, -1) + s * mk.pen_b[0])
     return op(op(r, _shift_const(r, 1, 1, value)),
               _shift_const(r, -1, 1, value))
 
@@ -659,6 +654,16 @@ def _make_stats_kernel(H, W, K):
 _STATS_BAND = 128
 
 
+def _use_banded_stats(H):
+    """True when the fused kernel's per-slot stats take the banded path
+    (and thus need the VMEM scratch plane): tall enough to band, and
+    32-aligned so the clamped dynamic band loads stay on the u8 sublane
+    tile.  Single predicate shared by _make_fused_kernel and the
+    pallas_call scratch gating so a tall-but-unaligned frame never
+    allocates an unused H*W scratch plane."""
+    return H >= 2 * _STATS_BAND and H % 32 == 0
+
+
 def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
                        scan_steps=None):
     """Single fused kernel: preprocess + fill + CCL + per-blob stats in
@@ -685,9 +690,7 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
     ph = 1 << math.ceil(math.log2(max(H, 2)))
     pw = 1 << math.ceil(math.log2(max(W, 2)))
     with_color = C == 3
-    # banding needs 32-aligned dynamic loads (u8 sublane tile), so the
-    # clamped band start H - _STATS_BAND must itself be 32-aligned
-    banded_stats = H >= 2 * _STATS_BAND and H % 32 == 0
+    banded_stats = _use_banded_stats(H)
 
     def kernel(ct_ref, frame_ref, sums_ref, bbox_ref, bgsum_ref, meta_ref,
                *scratch):
@@ -968,9 +971,9 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          memory_space=pltpu.VMEM),
         ],
         # banded-stats scratch: labels + boundary packed in one plane
-        # (see _make_fused_kernel) — only for frames tall enough to band
+        # (see _make_fused_kernel) — only when the banded path is taken
         scratch_shapes=([pltpu.VMEM((H, W), jnp.int32)]
-                        if H >= 2 * _STATS_BAND else []),
+                        if _use_banded_stats(H) else []),
     )
     sums, bbox, bgsum, meta = pl.pallas_call(
         kernel,

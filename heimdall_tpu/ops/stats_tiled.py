@@ -320,10 +320,14 @@ def blob_stats_tiled(labels, mask, gray, color=None, band: int = 256,
 
     ``stats_band``: run the STATS kernels on coarser bands than the CCL
     produced incidence for (measured v5e: flood/CCL want 128-row bands
-    but the stats kernels' per-band fixed cost favors larger — 256 was
-    ~21% cheaper at 2 MP).  Used when it is a multiple of ``band`` that
-    also divides the padded height (so the shared layout survives);
-    incidence lists are coarsened to band groups with cheap XLA glue.
+    but the stats kernels' per-band fixed cost favors larger — over the
+    128-band 2MP layout the stats kernel standalone measured 0.476
+    ms/frame at stats_band=128, ~21% cheaper at 256, and 0.348 at 384;
+    the detector ships 3*band = 384, the r4 measured optimum —
+    detectors/contamination_detector.py).  Used when it is a multiple of
+    ``band`` that also divides the padded height (so the shared layout
+    survives); incidence lists are coarsened to band groups with cheap
+    XLA glue.
     """
     B, H, W = labels.shape
     padded_io = frame_h is not None

@@ -193,6 +193,11 @@ def connected_components_tiled_sp(mask_l, band: int, H: int, axis_name: str,
     assert Hl % band == 0, (Hl, band)
     R = Hl // band
     n = jax.lax.axis_size(axis_name)
+    # a degenerate mesh (1 device x 1 band) would build zero-width [B, 0]
+    # edge tables in the merge below; the single-chip path guards R <= 1
+    # explicitly — use it instead of a spatial mesh with < 2 global bands
+    assert n * R >= 2, ("connected_components_tiled_sp needs >= 2 global "
+                        "bands (n_devices * bands_per_shard)", n, R)
     idx = jax.lax.axis_index(axis_name)
     off = idx * (Hl * W)
     K = max_blobs
