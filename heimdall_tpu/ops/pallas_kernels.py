@@ -496,11 +496,185 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
     return 1 - ext
 
 
+def _run_pack_cls(cls, big):
+    """Run-id key plane over CLASS runs: a run is a maximal same-class
+    (fg or bg) stretch along lanes, so fg runs and bg runs interleave and
+    ONE packed scan serves both classes' propagation (see
+    _label_flood_joint).  Lane 0 is always a start (shift fill -1 differs
+    from both classes)."""
+    start = (cls != _shift_const(cls, 1, 1, -1)).astype(jnp.int32)
+    return _lane_cumsum_mxu(start) * big
+
+
+def _label_flood_joint(fg, border, sentinel, ss_row=None, ss_col=5):
+    """Joint hole-fill + CCL: ONE dual-class propagation fixpoint.
+
+    The classic pipeline runs TWO independent min/or-propagations over
+    the same frame — the exterior flood over background and the CCL over
+    (filled) foreground — each paying its own run-packs, scans and
+    sweeps.  But fg runs and bg runs interleave along every row, so a
+    single class-run packing (_run_pack_cls) lets ONE packed min-scan
+    broadcast per-run minima for BOTH classes at once.  The combined
+    value plane v:
+
+      fg pixel:  its CCL label (min linear index, in [0, sentinel)),
+      bg pixel:  0 if border-reachable (the exterior flood flag,
+                 seeded at the frame border), else
+                 OFFSET + L where L is the min label adjacent to its
+                 bg-component (so at fixpoint every HOLE pixel already
+                 carries its enclosing component's label — hole FILLING
+                 comes out of the same loop for free), else
+                 INF0 (= OFFSET + sentinel) when nothing reached it yet.
+
+    Per-class neighbour rules (the "exchange", always in row space where
+    the guard rows live):
+      fg: min over fg 8-neighbours (class-crossing blocked by +_PEN),
+      bg: min over bg 4-neighbours and over fg 4-neighbours + OFFSET.
+    Lane neighbours inside a run are subsumed by the packed scans; the
+    exchange only carries information across run/class boundaries.
+
+    Since exterior bg converges to 0 < OFFSET and every hole converges
+    to OFFSET + L < INF0, the final plane decodes directly:
+      labels = fg ? v : (v >= OFFSET ? v - OFFSET : sentinel)
+      filled = fg | (bg & v >= OFFSET)
+    which matches fill_holes + connected_components exactly: the raster
+    -min pixel of a filled component is always an original-fg pixel of
+    the same component (a hole pixel on the filled top row would be
+    4-adjacent to exterior above it, contradiction), so labels agree.
+
+    LOOP 2 (feedback): an fg island nested inside another component's
+    hole must MERGE with it (the classic fill-then-label order fills the
+    hole first, so CCL sees one blob).  Loop 1 cannot let fg read
+    bg-carried labels — mid-flood an EXTERIOR bg pixel between two
+    distinct blobs briefly carries (min label)+OFFSET and would bridge
+    them — so a second fixpoint runs after the flood has converged
+    (exterior is then stably 0, rejected by the >= OFFSET guard): fg
+    additionally accepts hole-carried labels (v - OFFSET from bg
+    8-neighbours with v >= OFFSET), which propagates the enclosing
+    label into islands (and their own holes) to any nesting depth.
+    Frames without nesting pay one no-op exchange (the loop-2 entry
+    check) and exit immediately.
+
+    Key bounds: values <= INF0 < 2^20, so big = 2^20; class runs can be
+    as dense as one per lane, so |key| <= max(W, Hg) * big + INF0 —
+    asserted < 2^30 (the masked-roll _PEN precondition).
+
+    Rebuilds the semantics of the reference's flood-fill + labeling
+    stage (heimdall/core/pipeline.py contamination path) — verified
+    bit-equal to _fill_holes_sweeps + _ccl_sweeps in
+    tests/test_pallas_kernels.py.
+
+    Returns (lab, filled): int32 [H, W], background = sentinel.
+    """
+    H, W = fg.shape
+    OFFSET = 1 << 19
+    assert sentinel < OFFSET, (H, W)
+    INF0 = OFFSET + sentinel
+    big = 1 << max(1, math.ceil(math.log2(INF0 + 2)))
+    G = 8
+    Hg = H + 2 * G
+    assert max(W, Hg) * big + INF0 < (1 << 30), (H, W)
+
+    zrow = jnp.zeros((G, W), fg.dtype)
+    cls = jnp.concatenate([zrow, fg, zrow], axis=0)          # guards = bg
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    lin = row_idx * W + col_idx
+    v0_f = jnp.where(border > 0, 0, INF0)                    # bg init
+    v0 = jnp.where(fg > 0, lin, v0_f)
+    irow = jnp.full((G, W), INF0, jnp.int32)                 # guards inert
+    v0 = jnp.concatenate([irow, v0, irow], axis=0)
+
+    mk_r = _EdgeMasks(W)
+    mk_t = _EdgeMasks(Hg)
+    # Class penalty: must dominate every legit value (<= INF0 < 2^20) but
+    # stay clear of int32 overflow when an edge-masked roll adds _PEN
+    # (2^30) ON TOP of it: 2^26 + 2^30 < 2^31.  (_PEN itself would wrap
+    # negative there and win mins.)  Penalized candidates never reach the
+    # stored plane: exchange returns min(v, cand) <= v <= INF0.
+    CPEN = 1 << 26
+    assert INF0 < CPEN
+    pen_fg = (1 - cls) * CPEN          # add: non-fg neighbours lose mins
+    pen_bg = cls * CPEN                # add: non-bg neighbours lose mins
+    rb_r = _run_pack_cls(cls, big)
+    rb_t = _run_pack_cls(jnp.transpose(cls), big)
+    LARGE = CPEN                       # feedback no-candidate sentinel
+
+    def vroll(x, d):
+        return pltpu.roll(x, d % Hg, 0)
+
+    def lane_min3(x):
+        return jnp.minimum(x, jnp.minimum(_roll_lane(x, 1) + mk_r.pen_f[0],
+                                          _roll_lane(x, -1) + mk_r.pen_b[0]))
+
+    def exchange(v, feedback):
+        vf = v + pen_fg
+        lm = lane_min3(vf)
+        # fg: 8-neighbourhood of fg values (self included — harmless)
+        c_fg = jnp.minimum(lm, jnp.minimum(vroll(lm, 1), vroll(lm, -1)))
+        # bg from fg 4-neighbours: lanes via lm (self term is +PEN at
+        # bg), verticals direct
+        c_bgf = jnp.minimum(lm, jnp.minimum(vroll(vf, 1),
+                                            vroll(vf, -1))) + OFFSET
+        # bg from bg: verticals only (lanes ride the packed scans)
+        vb = v + pen_bg
+        c_bg = jnp.minimum(c_bgf, jnp.minimum(vroll(vb, 1), vroll(vb, -1)))
+        if feedback:
+            # fg additionally reads hole-carried labels: bg 8-neighbours
+            # with v >= OFFSET (exterior 0 is stably converged by loop-2
+            # entry, so the guard filters it exactly)
+            vh = jnp.where((cls == 0) & (v >= OFFSET), v, LARGE)
+            lh = lane_min3(vh)
+            c_h = jnp.minimum(lh, jnp.minimum(vroll(lh, 1), vroll(lh, -1)))
+            c_fg = jnp.minimum(c_fg, c_h - OFFSET)
+        return jnp.where(cls > 0, jnp.minimum(v, c_fg),
+                         jnp.minimum(v, c_bg))
+
+    def phase_r(v, feedback, ms):
+        return _run_min_packed(exchange(v, feedback), rb_r, mk_r,
+                               max_steps=ms)
+
+    def phase_c(v, feedback):
+        vt = jnp.transpose(exchange(v, feedback))
+        vt = _run_min_packed(vt, rb_t, mk_t, max_steps=ss_col)
+        return jnp.transpose(vt)
+
+    def unit3(v, feedback):
+        return phase_r(phase_c(phase_r(v, feedback, ss_row), feedback),
+                       feedback, ss_row)
+
+    def make_loop(feedback):
+        def cond(c):
+            return c[1] > 0
+
+        def body(c):
+            v = unit3(c[0], feedback)
+            e = exchange(v, feedback)
+            return v, jnp.max(jnp.where(e < v, 1, 0))
+
+        return cond, body
+
+    cond1, body1 = make_loop(False)
+    v = jax.lax.while_loop(cond1, body1, (v0, jnp.int32(1)))[0]
+    # loop 2: entry check is one feedback exchange; no nesting -> no work
+    cond2, body2 = make_loop(True)
+    e = exchange(v, True)
+    changed = jnp.max(jnp.where(e < v, 1, 0))
+    v = jax.lax.while_loop(cond2, body2, (v, changed))[0]
+
+    v = jax.lax.slice_in_dim(v, G, G + H, axis=0)
+    is_hole = (fg == 0) & (v >= OFFSET)
+    lab = jnp.where(fg > 0, v, jnp.where(is_hole, v - OFFSET, sentinel))
+    filled = jnp.where(is_hole, 1, fg)
+    return lab, filled
+
+
 # ---------------------------------------------------------------------------
 # the fused kernel
 # ---------------------------------------------------------------------------
 
-def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None):
+def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None,
+                       joint=False):
     """Kernel A: frame → CCL labels (int32; background = H*W).
 
     Runs preprocess (gray → Q8 blur5 → float adaptive-11 threshold → open →
@@ -512,6 +686,8 @@ def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None):
 
     adaptive=True replaces the fixed sweep counts with in-VMEM fixpoint
     loops (exact for any geometry, and fewer sweeps on typical scenes).
+    joint=True runs hole-fill + CCL as ONE dual-class fixpoint
+    (_label_flood_joint; implies adaptive, ignores sweeps).
     """
     sentinel = H * W
     taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
@@ -539,10 +715,15 @@ def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None):
 
         border = ((row_idx == 0) | (row_idx == H - 1)
                   | (col_idx == 0) | (col_idx == W - 1)).astype(jnp.int32)
-        fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
-        lin = row_idx * W + col_idx
-        lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg, sentinel,
-                          sweeps, adaptive=adaptive, scan_steps=scan_steps)
+        if joint:
+            lab, _ = _label_flood_joint(fg0, border, sentinel,
+                                        ss_col=scan_steps)
+        else:
+            fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
+            lin = row_idx * W + col_idx
+            lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
+                              sentinel, sweeps, adaptive=adaptive,
+                              scan_steps=scan_steps)
         lab_ref[0] = lab
 
     return kernel
@@ -665,7 +846,7 @@ def _use_banded_stats(H):
 
 
 def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
-                       scan_steps=None):
+                       scan_steps=None, joint=False):
     """Single fused kernel: preprocess + fill + CCL + per-blob stats in
     ONE invocation per frame — no label plane ever touches HBM (saves
     the int32 [B, H, W] round-trip of the two-kernel split and, at large
@@ -718,10 +899,15 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
 
         border = ((row_idx == 0) | (row_idx == H - 1)
                   | (col_idx == 0) | (col_idx == W - 1)).astype(jnp.int32)
-        fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
         lin = row_idx * W + col_idx
-        lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg, sentinel,
-                          sweeps, adaptive=adaptive, scan_steps=scan_steps)
+        if joint:
+            lab, fg = _label_flood_joint(fg0, border, sentinel,
+                                         ss_col=scan_steps)
+        else:
+            fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
+            lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
+                              sentinel, sweeps, adaptive=adaptive,
+                              scan_steps=scan_steps)
 
         # ---- per-blob stats (lab/fg still in VMEM registers) ----
         is_root = (fg > 0) & (lab == lin)
@@ -917,11 +1103,13 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
 
 @functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
                                              "interpret", "adaptive",
-                                             "scan_steps", "channel_major"))
+                                             "scan_steps", "channel_major",
+                                             "joint"))
 def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          max_blobs: int = 64, sweeps: int = 6,
                          interpret: bool = False, adaptive: bool = False,
-                         scan_steps=None, channel_major: bool = False):
+                         scan_steps=None, channel_major: bool = False,
+                         joint: bool = False):
     """Run the fused single-kernel pipeline over a uint8 batch.
 
     Accepted input forms:
@@ -954,7 +1142,7 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
 
     kernel = _make_fused_kernel(H, W, K, C, sweeps, adaptive=adaptive,
-                                scan_steps=scan_steps)
+                                scan_steps=scan_steps, joint=joint)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -994,7 +1182,8 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
 def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
                       use_color: bool = True, sweeps: int = 6,
                       interpret: bool = False, adaptive: bool = False,
-                      scan_steps=None, channel_major: bool = False):
+                      scan_steps=None, channel_major: bool = False,
+                      joint: bool = False):
     """Fused-kernel equivalent of ops.blobs.blob_stats for the
     contamination pipeline: runs the kernel and assembles a BlobTable
     (same field semantics as the XLA path — tests/test_pallas_kernels.py
@@ -1010,7 +1199,7 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
     sums, bbox, bgsum, n_blobs = contamination_pallas(
         frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
         interpret=interpret, adaptive=adaptive, scan_steps=scan_steps,
-        channel_major=channel_major)
+        channel_major=channel_major, joint=joint)
 
     area_px = sums[:, S_ONES]
     valid = area_px > 0
@@ -1060,7 +1249,8 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
 @functools.partial(jax.jit, static_argnames=("max_blobs", "use_color",
                                              "formula", "sweeps",
                                              "interpret", "adaptive",
-                                             "scan_steps", "channel_major"))
+                                             "scan_steps", "channel_major",
+                                             "joint"))
 def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 max_size, min_confidence,
                                 max_blobs: int = 64, use_color: bool = True,
@@ -1068,7 +1258,8 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 interpret: bool = False,
                                 adaptive: bool = False,
                                 scan_steps=None,
-                                channel_major: bool = False):
+                                channel_major: bool = False,
+                                joint: bool = False):
     """One-dispatch detection: fused kernels + confidence + gating.
 
     Returns (BlobTable, confidence [B,K], accepted [B,K]) — the same
@@ -1082,7 +1273,7 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
                               max_blobs=max_blobs, use_color=use_color,
                               sweeps=sweeps, interpret=interpret,
                               adaptive=adaptive, scan_steps=scan_steps,
-                              channel_major=channel_major)
+                              channel_major=channel_major, joint=joint)
     conf = (blobs_mod.confidence_native(table) if formula == "native"
             else blobs_mod.confidence_python(table))
     accepted = (table.valid

@@ -75,6 +75,42 @@ def main():
         idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
         return jnp.where((idx < r) | (idx >= n - r), fix, out)
 
+    def make_conv_mxu():
+        """The f32 11-tap separable conv as two banded MXU matmuls.
+
+        T[k, c] folds the replicate border into edge weights, so the
+        MATHEMATICAL value matches _conv_axis exactly; the f32 ROUNDING
+        does not (MXU f32 matmuls decompose into bf16 passes with a
+        different accumulation order than the sequential tap-order MACs
+        cv2 and the XLA path use).  The harness reports binary flips vs
+        the shipped form instead of asserting — this variant is a
+        measured candidate, shippable only if flip-free on the corpus
+        (VERDICT r4 #1 candidate (b))."""
+        def band_matrix(n, taps):
+            r = len(taps) // 2
+            T = np.zeros((n, n), np.float32)
+            for c in range(n):
+                for i, t in enumerate(taps):
+                    k = min(max(c + i - r, 0), n - 1)
+                    T[k, c] += np.float32(t)
+            return T
+
+        Tr = band_matrix(W, k11)      # row pass: out = x @ Tr
+        Tc = band_matrix(H, k11)      # col pass: out[r,c] = sum_k Tc[k,r] x[k,c]
+
+        def conv_mxu(x, taps, axis, mode):
+            if x.dtype != jnp.float32:     # int blur5 keeps shipped form
+                return pk._conv_axis(x, taps, axis, mode)
+            T = jnp.asarray(Tr if axis == 1 else Tc)
+            if axis == 1:
+                return jax.lax.dot_general(
+                    x, T, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return jax.lax.dot_general(
+                T, x, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return conv_mxu
+
     def make_body(conv, pair5):
         t5 = taps5
         if pair5:
@@ -116,6 +152,7 @@ def main():
         "roll_conv": ("roll_conv", dict(conv=conv_roll, pair5=False)),
         "pair_sym": ("pair_sym", dict(conv=pk._conv_axis, pair5=True)),
         "roll_pair": ("roll_pair", dict(conv=conv_roll, pair5=True)),
+        "mxu_conv": ("mxu_conv", dict(conv=make_conv_mxu(), pair5=True)),
     }
 
     ref = None
@@ -158,6 +195,12 @@ def main():
             continue
         if ref is None:
             ref = got
+        elif name == "mxu_conv":
+            # different f32 rounding by design: report flips, don't assert
+            flips = int((got != ref).sum())
+            print(f"mxu_conv binary flips vs shipped: {flips} "
+                  f"({flips / got.size:.2e}/px over {batch} frames)",
+                  flush=True)
         else:
             assert (got == ref).all(), f"{name} binary differs!"
         infl = []

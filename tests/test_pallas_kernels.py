@@ -221,3 +221,71 @@ def test_pallas_truncated_scans_match_full():
             np.testing.assert_array_equal(
                 np.asarray(getattr(base, f)), np.asarray(getattr(got, f)),
                 err_msg=f"scan_steps={ss} field {f}")
+
+
+def _mask_frames(masks):
+    """Stack binary masks into dark-on-white BGR frames."""
+    out = []
+    for m in masks:
+        img = np.full(m.shape + (3,), 230, np.uint8)
+        img[m > 0] = 20
+        out.append(img)
+    return jnp.asarray(np.stack(out))
+
+
+def test_pallas_joint_label_matches_classic():
+    """The joint dual-class fixpoint (_label_flood_joint: hole-fill + CCL
+    + hole labeling in ONE loop) must be bit-equal to the classic
+    fill->label composition — including the nesting case its loop-2
+    feedback exists for (an fg island inside another component's hole
+    merges with it, because the classic order fills the hole first)."""
+    interpret = jax.default_backend() == "cpu"
+    H, W = 96, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+
+    def ring(cy, cx, r0, r1):
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        return ((d2 >= r0 * r0) & (d2 <= r1 * r1)).astype(np.uint8)
+
+    # nested rings + dot (3 nesting levels) + a separate blob
+    nested = (ring(48, 40, 22, 26) | ring(48, 40, 10, 13)
+              | (((yy - 48) ** 2 + (xx - 40) ** 2) <= 9).astype(np.uint8)
+              | (((yy - 30) ** 2 + (xx - 100) ** 2) <= 49).astype(np.uint8))
+    # U (cavity open to exterior) next to O (true hole)
+    uo = np.zeros((H, W), np.uint8)
+    uo[20:70, 10:13] = 1
+    uo[20:70, 40:43] = 1
+    uo[67:70, 10:43] = 1
+    uo[20:70, 80:83] = 1
+    uo[20:70, 110:113] = 1
+    uo[20:23, 80:113] = 1
+    uo[67:70, 80:113] = 1
+    frames = _mask_frames([nested, uo])
+
+    from heimdall_tpu.ops.pallas_kernels import contamination_pallas
+    a = contamination_pallas(frames, 15, max_blobs=32, sweeps=2,
+                             adaptive=True, scan_steps=5,
+                             interpret=interpret, joint=False)
+    b = contamination_pallas(frames, 15, max_blobs=32, sweeps=2,
+                             adaptive=True, scan_steps=5,
+                             interpret=interpret, joint=True)
+    for name, x, y in zip(("sums", "bbox", "bgsum", "n"), a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_pallas_joint_blob_table_random():
+    """Joint path end-to-end through pallas_blob_table on random scenes."""
+    interpret = jax.default_backend() == "cpu"
+    frames = jnp.asarray(_frames(n=3, h=64, w=128, seed=11))
+    t_c = pallas_blob_table(frames, 15, max_blobs=32, sweeps=2,
+                            adaptive=True, scan_steps=5,
+                            interpret=interpret, joint=False)
+    t_j = pallas_blob_table(frames, 15, max_blobs=32, sweeps=2,
+                            adaptive=True, scan_steps=5,
+                            interpret=interpret, joint=True)
+    for f in ("valid", "area_px", "cx", "cy", "x", "y", "w", "h",
+              "n_blobs"):
+        np.testing.assert_array_equal(np.asarray(getattr(t_c, f)),
+                                      np.asarray(getattr(t_j, f)),
+                                      err_msg=f)
