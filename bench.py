@@ -448,20 +448,34 @@ def main():
             lat_f.append(time.perf_counter() - t1)
         floor_ms = float(np.percentile(np.asarray(lat_f) * 1000, 50))
 
+        # Per-frame phase instrumentation (VERDICT r4 #6: the stream's
+        # rare 10x outliers were unexplained): for every frame record the
+        # host-side submit phases (assembly, device_put, launch) and the
+        # collector-side wait; the slowest frames are logged with their
+        # breakdown so any stall is attributed to a phase, not guessed.
+        sub_phases = []          # (dt_asm, dt_put, dt_launch) per frame
+
         def step(frame_np):
+            ta = time.perf_counter()
             # feeder-equivalent channel-major assembly (host-side, ~free)
             cm1 = np.ascontiguousarray(frame_np.transpose(2, 0, 1))[None]
+            tb = time.perf_counter()
             x1 = jax.device_put(cm1, dev)
+            tc = time.perf_counter()
             a, _ = run(x1)
             # return the whole [1, K] array: slicing (a[0]) would trace and
             # launch a separate device program — another ~24 ms tunnel
             # round-trip per frame
+            td = time.perf_counter()
+            sub_phases.append((tb - ta, tc - tb, td - tc))
             return a
 
-        stream_lat = []
+        stream_lat = []          # (total, wait_after_submit) per frame
 
-        def on_verdict(_verdict, t_read):
-            stream_lat.append(time.perf_counter() - t_read)
+        def on_verdict(_verdict, meta):
+            t_read, t_submitted = meta
+            now = time.perf_counter()
+            stream_lat.append((now - t_read, now - t_submitted))
 
         feeder = DeviceFeeder(step, max_in_flight=3, on_done=on_verdict)
         t_next = time.perf_counter()
@@ -473,9 +487,10 @@ def main():
             t_next = max(t_next + period, time.perf_counter())
             t1 = time.perf_counter()
             _, frame = src.read()
-            feeder.submit(frame, meta=t1)
+            feeder.submit(frame, meta=(t1, time.perf_counter()))
         feeder.close()
-        stream_ms = np.asarray(stream_lat) * 1000
+        stream_ms = np.asarray([t for t, _ in stream_lat]) * 1000
+        wait_ms = np.asarray([w for _, w in stream_lat]) * 1000
         deadline_hits = int((stream_ms <= 40.0).sum())
         # Net out the measured put+launch+fetch tunnel floor (floor_ms):
         # what remains is the detection program + feeder overhead a
@@ -488,6 +503,13 @@ def main():
             f"max {stream_ms.max():.1f} ms; net of the {floor_ms:.1f} ms "
             f"put+launch+fetch tunnel floor: {net_hits}/{n_stream} hits, "
             f"p50 {np.percentile(net_ms, 50):.1f} ms)")
+        worst = np.argsort(stream_ms)[-5:][::-1]
+        for i in worst:
+            asm, put, launch = (x * 1000 for x in sub_phases[i])
+            log(f"  config#4 frame {i:2d}: total {stream_ms[i]:7.1f} ms = "
+                f"assembly {asm:5.1f} + put {put:6.1f} + launch "
+                f"{launch:6.1f} + collector wait {wait_ms[i]:7.1f} "
+                f"(fetch RTT + queued device work)")
 
     phase("config #4 done")
     with guarded("config#5"):
@@ -500,6 +522,7 @@ def main():
         import contextlib
         sys.path.insert(0, REPO)
         from examples.line_simulation import main as line_main
+        from examples.line_simulation import latency_main
         with contextlib.redirect_stdout(sys.stderr):
             bph, p99_ms, detail = line_main(6.0, 8, return_detail=True)
         net_bph = detail["net_bph"]
@@ -508,7 +531,19 @@ def main():
             f"of tunnel transfer ({'PASS' if net_bph >= 90000 else 'below'} "
             f"the 90k target); per-bottle p99 {p99_ms:.2f} ms "
             f"({'PASS' if p99_ms < 10 else 'above'} the 10 ms deadline, "
-            f"net p99 {detail['net_p99_ms']:.2f} ms)")
+            f"net p99 {detail['net_p99_ms']:.2f} ms — batch-of-32 "
+            f"throughput shape; the deadline gate is the latency mode "
+            f"below)")
+        # deadline-shaped mode (VERDICT r4 #3): 1 bottle set per batch,
+        # synchronous verdict — the per-bottle <10 ms gate
+        with contextlib.redirect_stdout(sys.stderr):
+            lat = latency_main(3.0, return_detail=True)
+        log(f"config#5 latency mode: {lat['bottles']} bottles at 1 set/"
+            f"batch; net-of-floor per-bottle p50 {lat['net_p50_ms']:.2f} "
+            f"ms, p99 {lat['net_p99_ms']:.2f} ms "
+            f"({'PASS' if lat['net_p99_ms'] < 10 else 'above'} the 10 ms "
+            f"deadline; floor {lat['floor_ms']:.1f} ms, raw p99 "
+            f"{lat['p99_ms']:.2f} ms through the tunnel)")
 
     phase("config #5 done")
     with guarded("2MP design point"):

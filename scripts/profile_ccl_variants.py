@@ -30,6 +30,124 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def ccl_runtable(pk, jnp, jax, pltpu, lab, fg, sentinel, Rmax=12):
+    """VERDICT r4 candidate (a): CCL over the compacted RUN TABLE.
+
+    A run = maximal fg stretch along a row; the bench scene has <= ~6
+    runs/row, so the label fixpoint iterates over an [Rmax, H] table
+    (thousands of elements) instead of [H, W] pixel planes (307k).
+
+    Structure (Mosaic-feasible form — pointer-doubling over runs needs
+    gathers or an [N, N] one-hot match matrix, N = H*Rmax = 5760: 132 MB
+    of VMEM at i32, rejected by the documented no-rank-1/no-cross-lane-
+    reshape/16 MB-scoped constraints, so propagation is scan+exchange):
+      1. extraction: runid = MXU cumsum of run starts; per-slot start
+         cols / fg lengths from monotone-count row reductions
+         (S_j = #(runid < j), len_j = #(fg & runid < j+1) - #(... < j)),
+      2. iterate on the [Rmax, H] transposed table:
+         - segmented min-scan along rows within maximal vertical chains
+           of SAME-SLOT overlapping runs (the packed-scan machinery on
+           tiny planes — covers deep chains like box edges in one pass),
+         - cross-slot exchange: for each slot k, candidates from rows
+           r+-1 where intervals 8-conn-overlap ([S-1, E+1] vs [S', E']),
+         - certified fixpoint (a unit that changes nothing proves
+           labels constant per connected run-graph component — only
+           +-1-row pairs are ever adjacent, all covered by the unit),
+      3. write labels back: runid is monotone per row, so
+         lab = L_0 + sum_j (L_j - L_{j-1}) * [runid > j] — R compares,
+         no gather.
+    Exact when every row has <= Rmax runs; a per-frame lax.cond falls
+    back to the classic sweeps otherwise (morphology-opened masks come
+    nowhere near W/2 runs, but exactness cannot hinge on that).
+    """
+    H, W = lab.shape
+    i32 = jnp.int32
+    BIGC = 1 << 20
+
+    start = fg & (1 - pk._shift_const(fg, 1, 1, 0))
+    runid = pk._lane_cumsum_mxu(start)               # [H, W], 1-based
+    nrun = jax.lax.slice_in_dim(runid, W - 1, W, axis=1)   # [H, 1]
+    fits = jnp.max(nrun) <= Rmax
+
+    def table_path(lab):
+        row_col = jax.lax.broadcasted_iota(i32, (H, 1), 0)
+        Scols, Gcols = [], []
+        for j in range(1, Rmax + 1):
+            cj = (runid < j).astype(i32)
+            Scols.append(jnp.sum(cj, axis=1, keepdims=True))
+            Gcols.append(jnp.sum(fg * cj, axis=1, keepdims=True))
+        Gcols.append(jnp.sum(fg, axis=1, keepdims=True))
+        S = jnp.concatenate(Scols, axis=1)           # [H, R]
+        G = jnp.concatenate(Gcols, axis=1)           # [H, R+1]
+        LEN = (jax.lax.slice_in_dim(G, 1, Rmax + 1, axis=1)
+               - jax.lax.slice_in_dim(G, 0, Rmax, axis=1))
+        E = S + LEN - 1
+        slot = jax.lax.broadcasted_iota(i32, (H, Rmax), 1)
+        valid = slot < nrun
+        L0 = jnp.where(valid, row_col * W + S, sentinel)
+        S = jnp.where(valid, S, BIGC)
+        E = jnp.where(valid, E, -BIGC)
+
+        St = jnp.transpose(S)                        # [R, H]
+        Et = jnp.transpose(E)
+        Lt = jnp.transpose(L0)
+        mkH = pk._EdgeMasks(H)
+
+        def lroll(x, d, fill):
+            return pk._shift_const(x, d, 1, fill)
+
+        # same-slot vertical chain segments (lane 0 always a start)
+        ov_same = ((St - 1 <= lroll(Et, 1, -BIGC))
+                   & (Et + 1 >= lroll(St, 1, BIGC)))
+        seg_start = 1 - ov_same.astype(i32)
+        big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
+        pack = pk._lane_cumsum_mxu(seg_start) * big
+        assert (H + 2) * big + sentinel < (1 << 30), (H, W)
+
+        def exchange(L):
+            acc = L
+            for k in range(Rmax):
+                Lk = jax.lax.slice_in_dim(L, k, k + 1, axis=0)
+                Sk = jax.lax.slice_in_dim(St, k, k + 1, axis=0)
+                Ek = jax.lax.slice_in_dim(Et, k, k + 1, axis=0)
+                for d in (1, -1):
+                    ov = ((St - 1 <= lroll(Ek, d, -BIGC))
+                          & (Et + 1 >= lroll(Sk, d, BIGC)))
+                    acc = jnp.minimum(
+                        acc, jnp.where(ov, lroll(Lk, d, sentinel),
+                                       sentinel))
+            return acc
+
+        def unit(L):
+            return pk._run_min_packed(exchange(L), pack, mkH)
+
+        def cond(c):
+            return c[1] > 0
+
+        def body(c):
+            L = unit(c[0])
+            return L, jnp.max(jnp.where(L < c[0], 1, 0))
+
+        Lt = jax.lax.while_loop(cond, body, (Lt, i32(1)))[0]
+        Lfin = jnp.transpose(Lt)                     # [H, R]
+
+        # monotone-step write-back (no gather): runid is non-decreasing
+        # along each row, so L[runid] telescopes over [runid > j] steps
+        out = jnp.broadcast_to(
+            jax.lax.slice_in_dim(Lfin, 0, 1, axis=1), (H, W))
+        for j in range(1, Rmax):
+            Lj = jax.lax.slice_in_dim(Lfin, j, j + 1, axis=1)
+            Lp = jax.lax.slice_in_dim(Lfin, j - 1, j, axis=1)
+            out = out + jnp.where(runid > j, Lj - Lp, 0)
+        return jnp.where(fg > 0, out, sentinel)
+
+    def classic_path(lab):
+        return pk._ccl_sweeps(lab, fg, sentinel, 2, adaptive=True,
+                              scan_steps=5)
+
+    return jax.lax.cond(fits, table_path, classic_path, lab)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -85,7 +203,8 @@ def main():
         lab0 = jnp.where(fg > 0, row_idx * W + col_idx, sentinel)
         return lab0, fg
 
-    def ccl_param(lab, fg, ss, cert, guard, fixed=None):
+    def ccl_param(lab, fg, ss, cert, guard, fixed=None, unit=3,
+                  presweep=False, ss_r=None):
         Hc, Wc = lab.shape
         G = 8 if guard else 0
         Hg = Hc + 2 * G
@@ -114,27 +233,39 @@ def main():
                 pk._shift_const(row, 1, 0, sentinel),
                 pk._shift_const(row, -1, 0, sentinel)))
 
-        def phase_r(l):
+        def phase_r(l, ms):
             l = jnp.where(fgx > 0, nb(l), sentinel)
             return jnp.where(fgx > 0,
                              pk._run_min_packed(l, rb_r, mk_r,
-                                                max_steps=ss), sentinel)
+                                                max_steps=ms), sentinel)
 
-        def phase_c(l):
+        def phase_c(l, ms):
             l = jnp.where(fgx > 0, nb(l), sentinel)
             lt = jnp.transpose(l)
             lt = jnp.where(fg_t > 0,
                            pk._run_min_packed(lt, rb_t, mk_t,
-                                              max_steps=ss), sentinel)
+                                              max_steps=ms), sentinel)
             return jnp.transpose(lt)
 
+        # ss_r: row-phase ladder override; "full" = untruncated
+        sr = ss if ss_r is None else (None if ss_r == "full" else ss_r)
+
         def unit3(l):
-            return phase_r(phase_c(phase_r(l)))
+            if unit == 2:
+                return phase_c(phase_r(l, sr), ss)
+            return phase_r(phase_c(phase_r(l, sr), ss), sr)
 
         def strip(l):
             if guard:
                 return jax.lax.slice_in_dim(l, G, G + Hc, axis=0)
             return l
+
+        if presweep:
+            # one full-ladder unit before the truncated adaptive loop:
+            # the bench scene's 204x240 rect outline needs ~7 reach-31
+            # phases, so a single full-reach unit may replace 1-2 loop
+            # units on every frame
+            labx = phase_r(phase_c(phase_r(labx, None), None), None)
 
         if fixed is not None:
             l = labx
@@ -177,6 +308,15 @@ def main():
         "cheapcert": dict(ss=5, cert="cheap", guard=True),
         "noguard": dict(ss=5, cert="nb", guard=False),
         "fixed2": dict(ss=5, cert="nb", guard=True, fixed=2),
+        # r5 structural knobs
+        "presweep": dict(ss=5, cert="nb", guard=True, presweep=True),
+        "unit2": dict(ss=5, cert="nb", guard=True, unit=2),
+        "pre_unit2": dict(ss=5, cert="nb", guard=True, unit=2,
+                          presweep=True),
+        "asym_r10": dict(ss=5, cert="nb", guard=True, ss_r="full"),
+        "pre_ss4": dict(ss=4, cert="nb", guard=True, presweep=True),
+        "runtable": "runtable",
+        "runtable8": "runtable8",
     }
 
     def make_run(name, cfg):
@@ -185,6 +325,11 @@ def main():
             if cfg is None:
                 lab = pk._ccl_sweeps(lab0, fg, sentinel, 2, adaptive=True,
                                      scan_steps=5)
+            elif cfg == "runtable":
+                lab = ccl_runtable(pk, jnp, jax, pltpu, lab0, fg, sentinel)
+            elif cfg == "runtable8":
+                lab = ccl_runtable(pk, jnp, jax, pltpu, lab0, fg, sentinel,
+                                   Rmax=8)
             else:
                 lab = ccl_param(lab0, fg, **cfg)
             out_ref[0] = lab
