@@ -105,9 +105,13 @@ def contamination_program(images: jnp.ndarray,
                                                         (0, 3, 1, 2))
         H = cm.shape[2]
         Hp = -(-H // band) * band
-        binary, gray = contamination_preprocess_tiled(
+        # flood_seed: the preprocess kernel also emits the OR-flood's
+        # initial state, so fill_holes_tiled's XLA seeding prologue
+        # (bg/border/ext0 planes + strided edge slices) never runs
+        binary, gray, ext0, edges0 = contamination_preprocess_tiled(
             cm, contrast_threshold, band=band, interpret=interp,
-            channel_major=True, padded_out=True)
+            channel_major=True, padded_out=True, flood_seed=True)
+        flood_seed = (ext0, edges0)
         if Hp != H:
             cm = jnp.pad(cm, [(0, 0), (0, 0), (0, Hp - H), (0, 0)])
         color = cm
@@ -138,9 +142,15 @@ def contamination_program(images: jnp.ndarray,
         # the color branch above produced band-padded planes: run every
         # stage padded (frame_h contract) — zero per-stage pad/unpad
         fh = H if color is not None else None
-        mask = ccl_tiled.fill_holes_tiled(binary > 0, band=band,
-                                          sweeps=2, adaptive=True,
-                                          interpret=interp, frame_h=fh)
+        if color is not None:
+            mask = ccl_tiled.fill_holes_tiled(binary, band=band,
+                                              sweeps=2, adaptive=True,
+                                              interpret=interp, frame_h=fh,
+                                              seed=flood_seed)
+        else:
+            mask = ccl_tiled.fill_holes_tiled(binary > 0, band=band,
+                                              sweeps=2, adaptive=True,
+                                              interpret=interp, frame_h=fh)
         labels, root_table, root_count, slot_list, slot_count = (
             ccl_tiled.connected_components_tiled(
                 mask, connectivity=8, band=band, sweeps=2,
@@ -240,6 +250,14 @@ class ContaminationDetector(DefectDetector):
             raise ValueError(
                 f"ccl_scan_steps must be None or >= 1, got {scan_steps}")
         self.ccl_scan_steps = scan_steps
+        # Run-table propagation (r5): hole filling and CCL iterate over
+        # per-row RUN tables ([Rmax, H], thousands of elements) instead
+        # of pixel planes when every row fits Rmax runs (per-frame
+        # certified fallback to the plane sweeps otherwise) — measured
+        # pre+fill+ccl 124.6 -> 93.5 us/frame on v5e
+        # (scripts/profile_ccl_variants.py).  0 disables.
+        self.rt_ccl = self.config.get("rt_ccl", 8)
+        self.rt_fill = self.config.get("rt_fill", 12)
         # Compute backend: "xla" composes the ops library (fast compiles,
         # runs anywhere); "pallas" uses the fused VMEM-resident kernels
         # (ops/pallas_kernels.py — ~4x faster steady-state on a v5e but
@@ -306,7 +324,8 @@ class ContaminationDetector(DefectDetector):
                 adaptive=self.ccl_adaptive,
                 scan_steps=(self.ccl_scan_steps if self.ccl_adaptive
                             else None),
-                channel_major=channel_major and images.ndim == 4)
+                channel_major=channel_major and images.ndim == 4,
+                rt_ccl=self.rt_ccl, rt_fill=self.rt_fill)
         # On accelerator platforms this route ALWAYS uses the band-tiled
         # Pallas CCL, never the whole-frame XLA scans: the XLA scan
         # program MISCOMPILES on TPU once the label image gets big —

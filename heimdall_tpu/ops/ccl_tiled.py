@@ -834,7 +834,7 @@ def connected_components_tiled(mask, connectivity: int = 8, band: int = 256,
     return lab, rl, n_blobs
 
 
-def _make_flood_kernel(Th, W, n_bands):
+def _make_flood_kernel(Th, W, n_bands, from_binary=False):
     """OR-flood one band to its local fixpoint (4-connected exterior).
 
     Inputs: bg band u8 (1 = background), ext band u8 (current exterior
@@ -846,11 +846,19 @@ def _make_flood_kernel(Th, W, n_bands):
     nothing) — the XLA driver loop stops as soon as a whole round is a
     no-op, which certifies the GLOBAL flood fixpoint, because each round
     seeds every band with its neighbours' boundary rows.
+
+    ``from_binary``: the first input is the preprocess kernel's binary
+    plane (u8, fg = nonzero) instead of a precomputed bg plane — the
+    inversion happens here (one vector compare) so the seeded path
+    (fill_holes_tiled(seed=...)) never materializes bg in HBM.
     """
 
     def kernel(bg_ref, ext_ref, halo_ref, out_ref, edge_ref, flag_ref):
         r = pl.program_id(1)
-        bg = bg_ref[0].astype(jnp.int32)
+        if from_binary:
+            bg = (bg_ref[0].astype(jnp.int32) == 0).astype(jnp.int32)
+        else:
+            bg = bg_ref[0].astype(jnp.int32)
         fg = 1 - bg
         ext0 = ext_ref[0].astype(jnp.int32)
         halo = halo_ref[0, 0].astype(jnp.int32)          # [2, W]
@@ -935,7 +943,8 @@ def _make_flood_kernel(Th, W, n_bands):
                                              "adaptive", "frame_h"))
 def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
                      merge_iters: int = 0, interpret: bool = False,
-                     adaptive: bool = False, frame_h: int | None = None):
+                     adaptive: bool = False, frame_h: int | None = None,
+                     seed=None):
     """Drop-in for ops.ccl.fill_holes on [B, H, W] bool masks.
 
     Background 4-connected-reachable from the frame border (the
@@ -957,6 +966,13 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
     detector's 2MP path uses to share one padded layout across all tiled
     stages (each pad/unpad of a 2MP plane costs 30-60 us/frame of pure
     HBM relayout, measured r3).
+
+    ``seed`` (VERDICT r4 #4, requires frame_h): (ext0 [B, Hp, W] u8,
+    edges0 [B, R, 2, W] u8) as emitted by
+    contamination_preprocess_tiled(flood_seed=True); ``mask`` is then the
+    preprocess kernel's PADDED binary u8 plane (fg = nonzero) consumed
+    directly — no bool cast, no bg plane, no border/ext0/edge-slice XLA
+    prologue ever touches HBM.
     """
     del sweeps, merge_iters, adaptive
     squeeze = mask.ndim == 2
@@ -964,27 +980,36 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
         mask = mask[None]
     padded_io = frame_h is not None
     B, H, W = mask.shape
-    if padded_io:
+    if seed is not None:
+        assert padded_io, "seed requires the padded frame_h contract"
         Hp, H = H, frame_h
         R = Hp // band
         assert Hp == R * band and H <= Hp, (H, Hp, band)
-        bg = (~mask).astype(jnp.uint8)
+        ext0, edges0 = seed
+        kernel = _make_flood_kernel(band, W, R, from_binary=True)
+        bg = mask                      # binary u8 plane, inverted in-kernel
     else:
-        R = -(-H // band)
-        Hp = R * band
-        bg = (~mask).astype(jnp.uint8)
-        if Hp != H:
-            # pad rows are exterior-seeded background: they sit outside
-            # the frame and the real bottom border row is a seed anyway
-            bg = jnp.pad(bg, ((0, 0), (0, Hp - H), (0, 0)),
-                         constant_values=1)
-    row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None]
-    col = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    border = ((row == 0) | (row >= H - 1) | (col == 0)
-              | (col == W - 1)).astype(jnp.uint8)
-    ext0 = bg * border
-
-    kernel = _make_flood_kernel(band, W, R)
+        if padded_io:
+            Hp, H = H, frame_h
+            R = Hp // band
+            assert Hp == R * band and H <= Hp, (H, Hp, band)
+            bg = (~mask).astype(jnp.uint8)
+        else:
+            R = -(-H // band)
+            Hp = R * band
+            bg = (~mask).astype(jnp.uint8)
+            if Hp != H:
+                # pad rows are exterior-seeded background: they sit
+                # outside the frame and the real bottom border row is a
+                # seed anyway
+                bg = jnp.pad(bg, ((0, 0), (0, Hp - H), (0, 0)),
+                             constant_values=1)
+        row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None]
+        col = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        border = ((row == 0) | (row >= H - 1) | (col == 0)
+                  | (col == W - 1)).astype(jnp.uint8)
+        ext0 = bg * border
+        kernel = _make_flood_kernel(band, W, R)
     band_spec = pl.BlockSpec((1, band, W), lambda b, r: (b, r, 0),
                              memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -1015,8 +1040,9 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
                                jnp.zeros_like(first[:, :1])], axis=1)
         return jnp.stack([top, bot], axis=2)           # [B, R, 2, W]
 
-    v0 = ext0.reshape(B, R, band, W)
-    edges0 = jnp.stack([v0[:, :, 0], v0[:, :, band - 1]], axis=2)
+    if seed is None:
+        v0 = ext0.reshape(B, R, band, W)
+        edges0 = jnp.stack([v0[:, :, 0], v0[:, :, band - 1]], axis=2)
     ext, edges, flags = call(bg, ext0, halos(edges0))
 
     def cond(c):
@@ -1026,6 +1052,9 @@ def fill_holes_tiled(mask, band: int = 256, sweeps: int = 6,
         return tuple(call(bg, c[0], halos(c[1])))
 
     ext, _, _ = jax.lax.while_loop(cond, body, (ext, edges, flags))
+    if seed is not None:
+        # filled = fg | (bg & ~ext) = fg | ~ext; pad rows have ext = 1
+        return (mask > 0) | (ext == 0)
     hole = (bg & (1 - ext)) > 0
     filled = mask | (hole if padded_io else hole[:, :H])
     return filled[0] if squeeze else filled

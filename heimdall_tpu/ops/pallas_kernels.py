@@ -496,6 +496,186 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
     return 1 - ext
 
 
+# ---------------------------------------------------------------------------
+# run-table propagation (VERDICT r4 candidate (a) — measured winner)
+#
+# A run = maximal same-class stretch along a row.  Production masks have
+# a handful of runs per row, so the label/flood fixpoints can iterate
+# over [Rmax, H] tables (thousands of elements) instead of [H, W] pixel
+# planes (307k): v5e measured pre+fill+ccl 124.6 -> 93.5 us/frame when
+# the CCL moved to the run table (scripts/profile_ccl_variants.py
+# runtable8).  Pointer-doubling over runs is NOT Mosaic-feasible (it
+# needs gathers or an [N, N] one-hot match matrix, N = H*Rmax — 132 MB
+# at i32, plus rank-1/cross-lane-reshape constraints), so propagation is
+# a segmented min-scan along vertical chains of same-slot overlapping
+# runs plus a cross-slot +-1-row exchange, run to a certified fixpoint.
+# Exactness never hinges on the run-density assumption: a per-frame
+# lax.cond falls back to the plane sweeps when any row exceeds Rmax.
+# ---------------------------------------------------------------------------
+
+def _run_extract(sel, Rmax):
+    """Per-row run tables for ``sel`` (0/1 int32 [H, W], runs along
+    lanes).  Returns (runid 1-based [H, W], nrun [H, 1], S [H, R],
+    E [H, R], valid [H, R]) — start/end cols, inclusive.
+
+    Monotone-count extraction: runid counts run starts <= c, so
+    S_j = #(runid < j) and len_j = #(sel & runid <= j) - #(sel &
+    runid < j) — two compares and two lane-reductions per slot, no
+    sorting or compaction."""
+    H, W = sel.shape
+    start = sel & (1 - _shift_const(sel, 1, 1, 0))
+    runid = _lane_cumsum_mxu(start)
+    nrun = jax.lax.slice_in_dim(runid, W - 1, W, axis=1)
+    Scols, Gcols = [], []
+    for j in range(1, Rmax + 1):
+        cj = (runid < j).astype(jnp.int32)
+        Scols.append(jnp.sum(cj, axis=1, keepdims=True))
+        Gcols.append(jnp.sum(sel * cj, axis=1, keepdims=True))
+    Gcols.append(jnp.sum(sel, axis=1, keepdims=True))
+    S = jnp.concatenate(Scols, axis=1)                     # [H, R]
+    G = jnp.concatenate(Gcols, axis=1)                     # [H, R+1]
+    LEN = (jax.lax.slice_in_dim(G, 1, Rmax + 1, axis=1)
+           - jax.lax.slice_in_dim(G, 0, Rmax, axis=1))
+    E = S + LEN - 1
+    slot = jax.lax.broadcasted_iota(jnp.int32, (H, Rmax), 1)
+    valid = slot < nrun
+    return runid, nrun, S, E, valid
+
+
+def _table_lookup_monotone(cols, runid, Rmax, W):
+    """out[r, c] = cols[r, runid[r, c] - 1] without a gather: runid is
+    non-decreasing along each row, so the lookup telescopes over
+    [runid > j] steps (one compare + add per slot).  Positions with
+    runid == 0 read cols[:, 0] — callers mask them."""
+    H = cols.shape[0]
+    out = jnp.broadcast_to(jax.lax.slice_in_dim(cols, 0, 1, axis=1),
+                           (H, W))
+    for j in range(1, Rmax):
+        Lj = jax.lax.slice_in_dim(cols, j, j + 1, axis=1)
+        Lp = jax.lax.slice_in_dim(cols, j - 1, j, axis=1)
+        out = out + jnp.where(runid > j, Lj - Lp, 0)
+    return out
+
+
+def _table_fixpoint(Lt, St, Et, mkH, pack, dilate, sentinel, Rmax):
+    """Min-propagation fixpoint over a transposed [Rmax, H] run table.
+
+    Per unit: (1) cross-slot exchange — every slot k contributes its
+    lane-rolled (+-1 row) values to slots whose intervals overlap
+    ([S - dilate, E + dilate] vs [S', E']; dilate=1 for 8-conn labels,
+    0 for the 4-conn flood), (2) segmented min-scan along rows within
+    maximal vertical chains of same-slot overlapping runs (``pack``).
+    A unit that changes nothing certifies the fixpoint: runs are only
+    ever adjacent at +-1 rows, and all such pairs are covered."""
+    BIGC = 1 << 20
+
+    def lroll(x, d, fill):
+        return _shift_const(x, d, 1, fill)
+
+    def exchange(L):
+        acc = L
+        for k in range(Rmax):
+            Lk = jax.lax.slice_in_dim(L, k, k + 1, axis=0)
+            Sk = jax.lax.slice_in_dim(St, k, k + 1, axis=0)
+            Ek = jax.lax.slice_in_dim(Et, k, k + 1, axis=0)
+            for d in (1, -1):
+                ov = ((St - dilate <= lroll(Ek, d, -BIGC))
+                      & (Et + dilate >= lroll(Sk, d, BIGC)))
+                acc = jnp.minimum(
+                    acc, jnp.where(ov, lroll(Lk, d, sentinel), sentinel))
+        return acc
+
+    def cond(c):
+        return c[1] > 0
+
+    def body(c):
+        L = _run_min_packed(exchange(c[0]), pack, mkH)
+        return L, jnp.max(jnp.where(L < c[0], 1, 0))
+
+    return jax.lax.while_loop(cond, body, (Lt, jnp.int32(1)))[0]
+
+
+def _ccl_runtable(lab, fg, sentinel, Rmax=8):
+    """CCL labels via the run table; bit-equal to _ccl_sweeps (falls
+    back to it per-frame when a row has more than Rmax runs).  ``fg``
+    must be the FILLED mask (as in the classic order) and ``lab`` the
+    usual lin-or-sentinel init plane."""
+    H, W = lab.shape
+    BIGC = 1 << 20
+    runid, nrun, S, E, valid = _run_extract(fg, Rmax)
+    fits = jnp.max(nrun) <= Rmax
+
+    def table_path(lab):
+        row_col = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+        L0 = jnp.where(valid, row_col * W + S, sentinel)
+        Sv = jnp.where(valid, S, BIGC)
+        Ev = jnp.where(valid, E, -BIGC)
+        St = jnp.transpose(Sv)
+        Et = jnp.transpose(Ev)
+        Lt = jnp.transpose(L0)
+        mkH = _EdgeMasks(H)
+
+        ov_same = ((St - 1 <= _shift_const(Et, 1, 1, -BIGC))
+                   & (Et + 1 >= _shift_const(St, 1, 1, BIGC)))
+        seg_start = 1 - ov_same.astype(jnp.int32)
+        big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
+        pack = _lane_cumsum_mxu(seg_start) * big
+        assert (H + 2) * big + sentinel < (1 << 30), (H, W)
+
+        Lt2 = _table_fixpoint(Lt, St, Et, mkH, pack, 1, sentinel, Rmax)
+        Lfin = jnp.transpose(Lt2)
+        out = _table_lookup_monotone(Lfin, runid, Rmax, W)
+        return jnp.where(fg > 0, out, sentinel)
+
+    def classic_path(lab):
+        return _ccl_sweeps(lab, fg, sentinel, 2, adaptive=True,
+                           scan_steps=5)
+
+    return jax.lax.cond(fits, table_path, classic_path, lab)
+
+
+def _fill_runtable(fg0, border, Rmax=12):
+    """Hole filling via the BACKGROUND run table: the exterior flood is
+    a min-propagation of a reached-flag (0 = border-reachable) over bg
+    runs with 4-conn overlap — same [Rmax, H] machinery as the labels.
+    A bg run is seeded when its row is a frame edge or it touches
+    column 0 / W-1.  Returns the filled mask (int32 0/1); bit-equal to
+    _fill_holes_sweeps (per-frame fallback on run overflow — note bg
+    runs of the UNFILLED mask are the densest tables in the pipeline:
+    hollow rims contribute two runs each)."""
+    H, W = fg0.shape
+    BIGC = 1 << 20
+    bg = 1 - fg0
+    runid, nrun, S, E, valid = _run_extract(bg, Rmax)
+    fits = jnp.max(nrun) <= Rmax
+
+    def table_path(fg0):
+        row_col = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+        seeded = valid & ((row_col == 0) | (row_col == H - 1)
+                          | (S == 0) | (E == W - 1))
+        F0 = jnp.where(seeded, 0, 1)                  # min target: 0
+        Sv = jnp.where(valid, S, BIGC)
+        Ev = jnp.where(valid, E, -BIGC)
+        St = jnp.transpose(Sv)
+        Et = jnp.transpose(Ev)
+        Ft = jnp.transpose(F0)
+        mkH = _EdgeMasks(H)
+
+        ov_same = ((St <= _shift_const(Et, 1, 1, -BIGC))
+                   & (Et >= _shift_const(St, 1, 1, BIGC)))
+        seg_start = 1 - ov_same.astype(jnp.int32)
+        pack = _lane_cumsum_mxu(seg_start) * 4        # values in {0, 1}
+        Ft2 = _table_fixpoint(Ft, St, Et, mkH, pack, 0, 1, Rmax)
+        Ffin = jnp.transpose(Ft2)
+        hole = _table_lookup_monotone(Ffin, runid, Rmax, W)
+        return jnp.where(bg > 0, hole, 0) | fg0       # unreached bg = 1
+
+    def classic_path(fg0):
+        return _fill_holes_sweeps(fg0, border, 2, adaptive=True)
+
+    return jax.lax.cond(fits, table_path, classic_path, fg0)
+
+
 def _run_pack_cls(cls, big):
     """Run-id key plane over CLASS runs: a run is a maximal same-class
     (fg or bg) stretch along lanes, so fg runs and bg runs interleave and
@@ -674,7 +854,7 @@ def _label_flood_joint(fg, border, sentinel, ss_row=None, ss_col=5):
 # ---------------------------------------------------------------------------
 
 def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None,
-                       joint=False):
+                       joint=False, rt_ccl=0, rt_fill=0):
     """Kernel A: frame → CCL labels (int32; background = H*W).
 
     Runs preprocess (gray → Q8 blur5 → float adaptive-11 threshold → open →
@@ -719,11 +899,19 @@ def _make_label_kernel(H, W, K, sweeps, adaptive=False, scan_steps=None,
             lab, _ = _label_flood_joint(fg0, border, sentinel,
                                         ss_col=scan_steps)
         else:
-            fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
+            if rt_fill:
+                fg = _fill_runtable(fg0, border, Rmax=rt_fill)
+            else:
+                fg = _fill_holes_sweeps(fg0, border, sweeps,
+                                        adaptive=adaptive)
             lin = row_idx * W + col_idx
-            lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
-                              sentinel, sweeps, adaptive=adaptive,
-                              scan_steps=scan_steps)
+            lab0 = jnp.where(fg > 0, lin, sentinel)
+            if rt_ccl:
+                lab = _ccl_runtable(lab0, fg, sentinel, Rmax=rt_ccl)
+            else:
+                lab = _ccl_sweeps(lab0, fg, sentinel, sweeps,
+                                  adaptive=adaptive,
+                                  scan_steps=scan_steps)
         lab_ref[0] = lab
 
     return kernel
@@ -846,7 +1034,7 @@ def _use_banded_stats(H):
 
 
 def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
-                       scan_steps=None, joint=False):
+                       scan_steps=None, joint=False, rt_ccl=0, rt_fill=0):
     """Single fused kernel: preprocess + fill + CCL + per-blob stats in
     ONE invocation per frame — no label plane ever touches HBM (saves
     the int32 [B, H, W] round-trip of the two-kernel split and, at large
@@ -904,10 +1092,18 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
             lab, fg = _label_flood_joint(fg0, border, sentinel,
                                          ss_col=scan_steps)
         else:
-            fg = _fill_holes_sweeps(fg0, border, sweeps, adaptive=adaptive)
-            lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
-                              sentinel, sweeps, adaptive=adaptive,
-                              scan_steps=scan_steps)
+            if rt_fill:
+                fg = _fill_runtable(fg0, border, Rmax=rt_fill)
+            else:
+                fg = _fill_holes_sweeps(fg0, border, sweeps,
+                                        adaptive=adaptive)
+            if rt_ccl:
+                lab = _ccl_runtable(jnp.where(fg > 0, lin, sentinel), fg,
+                                    sentinel, Rmax=rt_ccl)
+            else:
+                lab = _ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
+                                  sentinel, sweeps, adaptive=adaptive,
+                                  scan_steps=scan_steps)
 
         # ---- per-blob stats (lab/fg still in VMEM registers) ----
         is_root = (fg > 0) & (lab == lin)
@@ -1104,12 +1300,13 @@ def _make_fused_kernel(H, W, K, C, sweeps, adaptive=False,
 @functools.partial(jax.jit, static_argnames=("max_blobs", "sweeps",
                                              "interpret", "adaptive",
                                              "scan_steps", "channel_major",
-                                             "joint"))
+                                             "joint", "rt_ccl", "rt_fill"))
 def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
                          max_blobs: int = 64, sweeps: int = 6,
                          interpret: bool = False, adaptive: bool = False,
                          scan_steps=None, channel_major: bool = False,
-                         joint: bool = False):
+                         joint: bool = False, rt_ccl: int = 0,
+                         rt_fill: int = 0):
     """Run the fused single-kernel pipeline over a uint8 batch.
 
     Accepted input forms:
@@ -1142,7 +1339,8 @@ def contamination_pallas(frames: jnp.ndarray, contrast_threshold,
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
 
     kernel = _make_fused_kernel(H, W, K, C, sweeps, adaptive=adaptive,
-                                scan_steps=scan_steps, joint=joint)
+                                scan_steps=scan_steps, joint=joint,
+                                rt_ccl=rt_ccl, rt_fill=rt_fill)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -1183,7 +1381,8 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
                       use_color: bool = True, sweeps: int = 6,
                       interpret: bool = False, adaptive: bool = False,
                       scan_steps=None, channel_major: bool = False,
-                      joint: bool = False):
+                      joint: bool = False, rt_ccl: int = 0,
+                      rt_fill: int = 0):
     """Fused-kernel equivalent of ops.blobs.blob_stats for the
     contamination pipeline: runs the kernel and assembles a BlobTable
     (same field semantics as the XLA path — tests/test_pallas_kernels.py
@@ -1199,7 +1398,8 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
     sums, bbox, bgsum, n_blobs = contamination_pallas(
         frames, contrast_threshold, max_blobs=max_blobs, sweeps=sweeps,
         interpret=interpret, adaptive=adaptive, scan_steps=scan_steps,
-        channel_major=channel_major, joint=joint)
+        channel_major=channel_major, joint=joint, rt_ccl=rt_ccl,
+        rt_fill=rt_fill)
 
     area_px = sums[:, S_ONES]
     valid = area_px > 0
@@ -1250,7 +1450,7 @@ def pallas_blob_table(frames, contrast_threshold, max_blobs: int = 64,
                                              "formula", "sweeps",
                                              "interpret", "adaptive",
                                              "scan_steps", "channel_major",
-                                             "joint"))
+                                             "joint", "rt_ccl", "rt_fill"))
 def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 max_size, min_confidence,
                                 max_blobs: int = 64, use_color: bool = True,
@@ -1259,7 +1459,8 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
                                 adaptive: bool = False,
                                 scan_steps=None,
                                 channel_major: bool = False,
-                                joint: bool = False):
+                                joint: bool = False, rt_ccl: int = 0,
+                                rt_fill: int = 0):
     """One-dispatch detection: fused kernels + confidence + gating.
 
     Returns (BlobTable, confidence [B,K], accepted [B,K]) — the same
@@ -1273,7 +1474,8 @@ def contamination_pallas_detect(frames, contrast_threshold, min_size,
                               max_blobs=max_blobs, use_color=use_color,
                               sweeps=sweeps, interpret=interpret,
                               adaptive=adaptive, scan_steps=scan_steps,
-                              channel_major=channel_major, joint=joint)
+                              channel_major=channel_major, joint=joint,
+                              rt_ccl=rt_ccl, rt_fill=rt_fill)
     conf = (blobs_mod.confidence_native(table) if formula == "native"
             else blobs_mod.confidence_python(table))
     accepted = (table.valid

@@ -79,7 +79,7 @@ def _minmax3_banded(x, is_min, oof):
               _shift_const(r, -1, 1, value))
 
 
-def _make_preprocess_kernel(band, W, H, R):
+def _make_preprocess_kernel(band, W, H, R, flood_seed=False):
     E = band + 2 * HALO
     taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
     k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
@@ -91,7 +91,7 @@ def _make_preprocess_kernel(band, W, H, R):
     bot_bands = [(rr, (H - 1) - (rr * band - HALO)) for rr in range(R)]
     bot_bands = [(rr, p) for rr, p in bot_bands if 0 <= p < E]
 
-    def kernel(ct_ref, ext_ref, bin_ref, gray_ref):
+    def kernel(ct_ref, ext_ref, bin_ref, gray_ref, *seed_refs):
         r = pl.program_id(1)
         is_top = r == 0
         bv = ext_ref[0, 0, 0].astype(jnp.int32)
@@ -135,19 +135,45 @@ def _make_preprocess_kernel(band, W, H, R):
         binary = jnp.where(grow > H - 1, 0, binary)
 
         body = lambda x: jax.lax.slice_in_dim(x, HALO, HALO + band, axis=0)
-        bin_ref[0] = body(binary).astype(jnp.uint8)
+        bin_b = body(binary).astype(jnp.uint8)
+        bin_ref[0] = bin_b
         gray_ref[0] = body(gray).astype(jnp.uint8)
+
+        if flood_seed:
+            # emit the OR-flood's initial state here (VERDICT r4 #4:
+            # "fuse fill seeding into the banded preprocess"): the XLA
+            # prologue of fill_holes_tiled — bg plane, border build,
+            # ext0 product, and the strided edge-row slices (each a full
+            # relayout copy of a 2 MP plane) — all disappear; binary is
+            # still in VMEM, so seeding costs a few vector ops
+            ext_seed_ref, edge_ref = seed_refs
+            grow_b = (jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
+                      + r * band)
+            col_b = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
+            # frame border (pad rows count: they sit past row H-1, all
+            # exterior-seeded background, matching fill_holes_tiled)
+            is_border = ((grow_b == 0) | (grow_b >= H - 1)
+                         | (col_b == 0) | (col_b == W - 1))
+            bgb = (bin_b == 0).astype(jnp.uint8)
+            ext0 = jnp.where(is_border, bgb, 0).astype(jnp.uint8)
+            ext_seed_ref[0] = ext0
+            edge_ref[0, 0] = jnp.concatenate(
+                [jax.lax.slice_in_dim(ext0, 0, 1, axis=0),
+                 jax.lax.slice_in_dim(ext0, band - 1, band, axis=0)],
+                axis=0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("band", "interpret",
-                                             "channel_major", "padded_out"))
+                                             "channel_major", "padded_out",
+                                             "flood_seed"))
 def contamination_preprocess_tiled(images, contrast_threshold,
                                    band: int = 256,
                                    interpret: bool = False,
                                    channel_major: bool = False,
-                                   padded_out: bool = False):
+                                   padded_out: bool = False,
+                                   flood_seed: bool = False):
     """[B, H, W, 3] uint8 BGR -> (binary u8 [B, H, W] in {0, 255},
     gray u8 [B, H, W]) — bit-identical to the XLA op composition
     gray -> gaussian_blur(5) -> adaptive_threshold(gaussian, inv, 11, C)
@@ -158,7 +184,13 @@ def contamination_preprocess_tiled(images, contrast_threshold,
     [B, Hp, W] band-padded planes (binary pad rows are background; gray
     pad rows replicate the last frame row) so the caller can share one
     padded layout across every tiled stage without re-pad/SLICE copies.
+    ``flood_seed`` (implies padded_out): additionally return the banded
+    OR-flood's initial state (ext0 [B, Hp, W] u8, edges0 [B, R, 2, W] u8)
+    computed in-kernel, for fill_holes_tiled(seed=...) — the flood's XLA
+    seeding prologue (bg/border/ext0 planes + strided edge slices, each
+    a full 2 MP relayout) disappears.
     """
+    assert not flood_seed or padded_out, "flood_seed implies padded_out"
     if channel_major:
         B, _, H, W = images.shape
         cm = images
@@ -178,28 +210,41 @@ def contamination_preprocess_tiled(images, contrast_threshold,
         for r in range(R)], axis=2)                      # [B, 3, R, E, W]
 
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
-    kernel = _make_preprocess_kernel(band, W, H, R)
+    kernel = _make_preprocess_kernel(band, W, H, R, flood_seed=flood_seed)
+    out_specs = [pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                              memory_space=pltpu.VMEM)]
+    Hp = R * band
+    out_shape = [jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                 jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8)]
+    if flood_seed:
+        out_specs += [
+            pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, W), lambda b, r, *_: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                      jax.ShapeDtypeStruct((B, R, 2, W), jnp.uint8)]
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, R),
         in_specs=[pl.BlockSpec((1, 3, 1, E, W),
                                lambda b, r, *_: (b, 0, r, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
     )
-    Hp = R * band
-    binary, gray = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=gs,
-        out_shape=(jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
-                   jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8)),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ct, tiles)
+    if flood_seed:
+        return out                       # (binary, gray, ext0, edges0)
+    binary, gray = out
     if padded_out:
         return binary, gray
     return binary[:, :H], gray[:, :H]

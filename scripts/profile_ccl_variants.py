@@ -317,6 +317,8 @@ def main():
         "pre_ss4": dict(ss=4, cert="nb", guard=True, presweep=True),
         "runtable": "runtable",
         "runtable8": "runtable8",
+        "runtable6": "runtable6",
+        "runtable10": "runtable10",
     }
 
     def make_run(name, cfg):
@@ -327,9 +329,9 @@ def main():
                                      scan_steps=5)
             elif cfg == "runtable":
                 lab = ccl_runtable(pk, jnp, jax, pltpu, lab0, fg, sentinel)
-            elif cfg == "runtable8":
+            elif isinstance(cfg, str) and cfg.startswith("runtable"):
                 lab = ccl_runtable(pk, jnp, jax, pltpu, lab0, fg, sentinel,
-                                   Rmax=8)
+                                   Rmax=int(cfg[len("runtable"):]))
             else:
                 lab = ccl_param(lab0, fg, **cfg)
             out_ref[0] = lab

@@ -101,7 +101,17 @@ def main():
         def conv_mxu(x, taps, axis, mode):
             if x.dtype != jnp.float32:     # int blur5 keeps shipped form
                 return pk._conv_axis(x, taps, axis, mode)
-            T = jnp.asarray(Tr if axis == 1 else Tc)
+            # Mosaic rejects captured array constants: build the banded
+            # matrix in-kernel from iotas — T[k, c] = sum_i t_i *
+            # [clamp(c + i - 5, 0, n-1) == k] (replicate border folds
+            # edge taps into rows 0 / n-1 via the clip)
+            n = x.shape[axis]
+            kk = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            T = jnp.zeros((n, n), jnp.float32)
+            for i, t in enumerate(taps):
+                p = jnp.clip(cc + (i - 5), 0, n - 1)
+                T = T + jnp.where(kk == p, jnp.float32(t), 0.0)
             if axis == 1:
                 return jax.lax.dot_general(
                     x, T, (((1,), (0,)), ((), ())),

@@ -289,3 +289,47 @@ def test_pallas_joint_blob_table_random():
         np.testing.assert_array_equal(np.asarray(getattr(t_c, f)),
                                       np.asarray(getattr(t_j, f)),
                                       err_msg=f)
+
+
+def test_pallas_runtable_matches_sweeps():
+    """The run-table fill/CCL (r5: table fixpoints over per-row runs,
+    per-frame fallback to plane sweeps on run overflow) must be
+    bit-equal to the plane-sweep path, including when the fallback
+    branch fires (a dense checkerboard patch exceeds any Rmax)."""
+    interpret = jax.default_backend() == "cpu"
+    from heimdall_tpu.ops.pallas_kernels import contamination_pallas
+
+    H, W = 96, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    ring = (((yy - 48) ** 2 + (xx - 40) ** 2 >= 100)
+            & ((yy - 48) ** 2 + (xx - 40) ** 2 <= 196))
+    blob = ((yy - 30) ** 2 + (xx - 100) ** 2) <= 49
+    board = np.zeros((H, W), bool)
+    board[60:76, 60:124] = (np.indices((16, 64)).sum(0) % 2) > 0
+    frames = _mask_frames([(ring | blob).astype(np.uint8),
+                           (board | blob).astype(np.uint8)])
+
+    kw = dict(max_blobs=32, sweeps=2, adaptive=True, scan_steps=5,
+              interpret=interpret)
+    a = contamination_pallas(frames, 15, **kw)
+    b = contamination_pallas(frames, 15, rt_ccl=8, rt_fill=12, **kw)
+    for name, x, y in zip(("sums", "bbox", "bgsum", "n"), a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_pallas_runtable_bench_scene():
+    """rt path on the real bench scene generator (rect outline + disc +
+    contaminants — the production-shaped geometry)."""
+    interpret = jax.default_backend() == "cpu"
+    from heimdall_tpu.ops.pallas_kernels import contamination_pallas
+    import bench
+
+    frames = jnp.asarray(bench.make_frames(4, seed=9))
+    kw = dict(max_blobs=64, sweeps=2, adaptive=True, scan_steps=5,
+              interpret=interpret)
+    a = contamination_pallas(frames, 15, **kw)
+    b = contamination_pallas(frames, 15, rt_ccl=8, rt_fill=12, **kw)
+    for name, x, y in zip(("sums", "bbox", "bgsum", "n"), a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)

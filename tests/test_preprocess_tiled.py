@@ -85,3 +85,53 @@ def test_preprocess_tiled_noise_exact():
                                               interpret=INTERP)
     bin_x, _ = _xla_chain(frames, 15)
     np.testing.assert_array_equal(np.asarray(bin_t), np.asarray(bin_x))
+
+
+def test_preprocess_flood_seed_matches_prologue():
+    """flood_seed=True must emit exactly the OR-flood initial state the
+    XLA prologue of fill_holes_tiled computes, and the seeded fill must
+    return the identical filled mask (r5: the prologue's bg/border/ext0
+    planes and strided edge slices moved into the preprocess kernel)."""
+    from heimdall_tpu.ops.ccl_tiled import fill_holes_tiled
+
+    rng = np.random.RandomState(5)
+    H, W, band = 70, 96, 32           # non-multiple height: pad rows live
+    frames = np.full((2, H, W, 3), 220, np.uint8)
+    for i in range(2):
+        for _ in range(4):
+            y, x = rng.randint(4, H - 4), rng.randint(4, W - 4)
+            r = rng.randint(2, 9)
+            yy, xx = np.ogrid[:H, :W]
+            m = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+            frames[i][m] = 30
+    x = jnp.asarray(frames)
+
+    binary, gray, ext0, edges0 = contamination_preprocess_tiled(
+        x, jnp.int32(15), band=band, interpret=True, padded_out=True,
+        flood_seed=True)
+    b2, g2 = contamination_preprocess_tiled(
+        x, jnp.int32(15), band=band, interpret=True, padded_out=True)
+    np.testing.assert_array_equal(np.asarray(binary), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(gray), np.asarray(g2))
+
+    # the prologue's values
+    Hp = binary.shape[1]
+    bg = (np.asarray(binary) == 0).astype(np.uint8)
+    row = np.arange(Hp)[None, :, None]
+    col = np.arange(W)[None, None, :]
+    border = ((row == 0) | (row >= H - 1) | (col == 0)
+              | (col == W - 1)).astype(np.uint8)
+    ref_ext0 = bg * border
+    np.testing.assert_array_equal(np.asarray(ext0), ref_ext0)
+    R = Hp // band
+    v0 = ref_ext0.reshape(2, R, band, W)
+    ref_edges = np.stack([v0[:, :, 0], v0[:, :, band - 1]], axis=2)
+    np.testing.assert_array_equal(np.asarray(edges0), ref_edges)
+
+    # seeded fill == unseeded fill
+    filled_seeded = fill_holes_tiled(binary, band=band, interpret=True,
+                                     frame_h=H, seed=(ext0, edges0))
+    filled_plain = fill_holes_tiled(binary > 0, band=band, interpret=True,
+                                    frame_h=H)
+    np.testing.assert_array_equal(np.asarray(filled_seeded),
+                                  np.asarray(filled_plain))
