@@ -537,7 +537,7 @@ def main():
         # deadline-shaped mode (VERDICT r4 #3): 1 bottle set per batch,
         # synchronous verdict — the per-bottle <10 ms gate
         with contextlib.redirect_stdout(sys.stderr):
-            lat = latency_main(3.0, return_detail=True)
+            lat = latency_main(8.0, return_detail=True)
         log(f"config#5 latency mode: {lat['bottles']} bottles at 1 set/"
             f"batch; net-of-floor per-bottle p50 {lat['net_p50_ms']:.2f} "
             f"ms, p99 {lat['net_p99_ms']:.2f} ms "

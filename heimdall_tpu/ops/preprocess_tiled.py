@@ -154,13 +154,15 @@ def _make_preprocess_kernel(band, W, H, R, flood_seed=False):
             # exterior-seeded background, matching fill_holes_tiled)
             is_border = ((grow_b == 0) | (grow_b >= H - 1)
                          | (col_b == 0) | (col_b == W - 1))
-            bgb = (bin_b == 0).astype(jnp.uint8)
-            ext0 = jnp.where(is_border, bgb, 0).astype(jnp.uint8)
-            ext_seed_ref[0] = ext0
+            # all int32 until the final store — Mosaic rejects u8 vector
+            # compares (and u8 selects are fragile); binary is still the
+            # int plane here
+            ext0_i = jnp.where(is_border & (body(binary) == 0), 1, 0)
+            ext_seed_ref[0] = ext0_i.astype(jnp.uint8)
             edge_ref[0, 0] = jnp.concatenate(
-                [jax.lax.slice_in_dim(ext0, 0, 1, axis=0),
-                 jax.lax.slice_in_dim(ext0, band - 1, band, axis=0)],
-                axis=0)
+                [jax.lax.slice_in_dim(ext0_i, 0, 1, axis=0),
+                 jax.lax.slice_in_dim(ext0_i, band - 1, band, axis=0)],
+                axis=0).astype(jnp.uint8)
 
     return kernel
 

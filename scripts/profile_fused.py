@@ -68,6 +68,9 @@ def main():
         return (binary > 0).astype(jnp.int32)
 
     def make_variant(stage):
+        # stages mirror the SHIPPED detector config (r5: run-table fill
+        # rt_fill=12 and run-table CCL rt_ccl=8; plane-sweep comparisons
+        # live in scripts/profile_{fill,ccl}_variants.py)
         def kernel(ct_ref, frame_ref, out_ref):
             row_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
             col_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -78,13 +81,13 @@ def main():
             border = ((row_idx == 0) | (row_idx == H - 1)
                       | (col_idx == 0)
                       | (col_idx == W - 1)).astype(jnp.int32)
-            fg = pk._fill_holes_sweeps(fg0, border, 2, adaptive=True)
+            fg = pk._fill_runtable(fg0, border, Rmax=12)
             if stage == "fill":
                 out_ref[0] = fg
                 return
             lin = row_idx * W + col_idx
-            lab = pk._ccl_sweeps(jnp.where(fg > 0, lin, sentinel), fg,
-                                 sentinel, 2, adaptive=True, scan_steps=5)
+            lab = pk._ccl_runtable(jnp.where(fg > 0, lin, sentinel), fg,
+                                   sentinel, Rmax=8)
             out_ref[0] = lab
 
         gs = pltpu.PrefetchScalarGridSpec(
@@ -168,7 +171,8 @@ def main():
     def full(x):
         t, c, a = contamination_pallas_detect(
             x, 15, 10.0, 3000.0, 0.25, max_blobs=K, adaptive=True,
-            sweeps=2, scan_steps=5, channel_major=True)
+            sweeps=2, scan_steps=5, channel_major=True,
+            rt_ccl=8, rt_fill=12)
         return a
     t_full = bench_fn("full detect (A+B+gates)", full, cm, slice_=(0, 0))
 
