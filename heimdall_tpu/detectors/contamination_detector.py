@@ -38,7 +38,8 @@ from heimdall_tpu.utils import contours as contours_mod
 
 @partial(jax.jit, static_argnames=("max_blobs", "use_color", "formula",
                                    "return_labels", "ccl_sweeps",
-                                   "tiled_band", "channel_major"))
+                                   "tiled_band", "channel_major",
+                                   "tiled_runtable"))
 def contamination_program(images: jnp.ndarray,
                           contrast_threshold: jnp.ndarray,
                           min_size: jnp.ndarray,
@@ -50,7 +51,8 @@ def contamination_program(images: jnp.ndarray,
                           return_labels: bool = False,
                           ccl_sweeps: int = 0,
                           tiled_band: int = 0,
-                          channel_major: bool = False):
+                          channel_major: bool = False,
+                          tiled_runtable: bool = True):
     """The full batched contamination-detection device program.
 
     Args:
@@ -107,11 +109,19 @@ def contamination_program(images: jnp.ndarray,
         Hp = -(-H // band) * band
         # flood_seed: the preprocess kernel also emits the OR-flood's
         # initial state, so fill_holes_tiled's XLA seeding prologue
-        # (bg/border/ext0 planes + strided edge slices) never runs
-        binary, gray, ext0, edges0 = contamination_preprocess_tiled(
-            cm, contrast_threshold, band=band, interpret=interp,
-            channel_major=True, padded_out=True, flood_seed=True)
-        flood_seed = (ext0, edges0)
+        # (bg/border/ext0 planes + strided edge slices) never runs.
+        # The table-global path (tiled_runtable) derives its seeds from
+        # the run tables instead, so it skips the emission.
+        if tiled_runtable:
+            binary, gray = contamination_preprocess_tiled(
+                cm, contrast_threshold, band=band, interpret=interp,
+                channel_major=True, padded_out=True)
+            flood_seed = None
+        else:
+            binary, gray, ext0, edges0 = contamination_preprocess_tiled(
+                cm, contrast_threshold, band=band, interpret=interp,
+                channel_major=True, padded_out=True, flood_seed=True)
+            flood_seed = (ext0, edges0)
         if Hp != H:
             cm = jnp.pad(cm, [(0, 0), (0, 0), (0, Hp - H), (0, 0)])
         color = cm
@@ -142,20 +152,29 @@ def contamination_program(images: jnp.ndarray,
         # the color branch above produced band-padded planes: run every
         # stage padded (frame_h contract) — zero per-stage pad/unpad
         fh = H if color is not None else None
-        if color is not None:
-            mask = ccl_tiled.fill_holes_tiled(binary, band=band,
-                                              sweeps=2, adaptive=True,
-                                              interpret=interp, frame_h=fh,
-                                              seed=flood_seed)
+        if color is not None and tiled_runtable:
+            # table-global fill + CCL (ops/runtable_tiled.py): run tables
+            # across bands — no flood driver rounds, no interface merge
+            from heimdall_tpu.ops.runtable_tiled import (
+                fill_label_runtable_tiled)
+            (mask, labels, root_table, root_count, slot_list,
+             slot_count) = fill_label_runtable_tiled(
+                binary, band=band, frame_h=H, max_blobs=max_blobs,
+                interpret=interp)
         else:
-            mask = ccl_tiled.fill_holes_tiled(binary > 0, band=band,
-                                              sweeps=2, adaptive=True,
-                                              interpret=interp, frame_h=fh)
-        labels, root_table, root_count, slot_list, slot_count = (
-            ccl_tiled.connected_components_tiled(
-                mask, connectivity=8, band=band, sweeps=2,
-                adaptive=True, interpret=interp, return_roots=max_blobs,
-                band_slots=True, frame_h=fh))
+            if color is not None:
+                mask = ccl_tiled.fill_holes_tiled(
+                    binary, band=band, sweeps=2, adaptive=True,
+                    interpret=interp, frame_h=fh, seed=flood_seed)
+            else:
+                mask = ccl_tiled.fill_holes_tiled(
+                    binary > 0, band=band, sweeps=2, adaptive=True,
+                    interpret=interp, frame_h=fh)
+            labels, root_table, root_count, slot_list, slot_count = (
+                ccl_tiled.connected_components_tiled(
+                    mask, connectivity=8, band=band, sweeps=2,
+                    adaptive=True, interpret=interp,
+                    return_roots=max_blobs, band_slots=True, frame_h=fh))
         from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
         table = blob_stats_tiled(labels, mask, gray, color, band=band,
                                  max_blobs=max_blobs, use_color=use_color,
