@@ -521,7 +521,9 @@ def _run_extract(sel, Rmax):
     Monotone-count extraction: runid counts run starts <= c, so
     S_j = #(runid < j) and len_j = #(sel & runid <= j) - #(sel &
     runid < j) — two compares and two lane-reductions per slot, no
-    sorting or compaction."""
+    sorting or compaction.  (An S + 4096*G bit-packed single-reduction
+    variant measured SLOWER on v5e at 640x480 — full detect 105.9 ->
+    113.4 us/frame — and ~neutral at 2 MP; reverted.)"""
     H, W = sel.shape
     start = sel & (1 - _shift_const(sel, 1, 1, 0))
     runid = _lane_cumsum_mxu(start)

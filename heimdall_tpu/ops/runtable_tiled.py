@@ -145,28 +145,71 @@ def _make_flood_fix_kernel(Hp, W, H, Rbg):
     return kernel
 
 
-def _make_label_fix_kernel(Hp, W, Rfg, sentinel):
+def _make_label_fix_kernel(Hp, W, Rfg, sentinel, band, K):
     """filled-fg S/E tables -> per-run labels (min lin over component,
-    8-connected: dilate=1).  Labels are real LIN values (row*W + S), so
-    the masked-roll key bound needs the <= _SEG_CAP segment guard the
-    DRIVER enforces before taking this path."""
-    big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
+    8-connected: dilate=1), PLUS the root table, blob count and per-band
+    slot incidence — all from the [Rfg, Hp] tables still in VMEM (the
+    XLA formulation of roots+slots measured 0.103 ms/frame at 2 MP,
+    dominated by 64 sequential tiny host-program ops; here the
+    successive-minima loop is bounded by the actual blob count).
 
-    def kernel(s_ref, e_ref, l_ref):
+    Labels are real LIN values (row*W + S), so the masked-roll key bound
+    needs the <= _SEG_CAP segment guard the DRIVER enforces before
+    taking this path."""
+    big = 1 << max(1, math.ceil(math.log2(sentinel + 2)))
+    Rb = Hp // band
+
+    def kernel(s_ref, e_ref, l_ref, rl_ref, nb_ref, pres_ref):
         S = s_ref[0]
         E = e_ref[0]
-        valid = S < _BIGC
-        row = jax.lax.broadcasted_iota(jnp.int32, (Hp, Rfg), 0)
-        L0 = jnp.where(valid, row * W + S, sentinel)
         St = jnp.transpose(S)
         Et = jnp.transpose(E)
-        Lt = jnp.transpose(L0)
+        valid_t = St < _BIGC
+        rowt = jax.lax.broadcasted_iota(jnp.int32, (Rfg, Hp), 1)
+        lin0_t = rowt * W + St
+        Lt0 = jnp.where(valid_t, lin0_t, sentinel)
         mkH = _EdgeMasks(Hp)
         ov = ((St - 1 <= _shift_const(Et, 1, 1, -_BIGC))
               & (Et + 1 >= _shift_const(St, 1, 1, _BIGC)))
         pack = _lane_cumsum_mxu(1 - ov.astype(jnp.int32)) * big
-        Lt = _table_fixpoint(Lt, St, Et, mkH, pack, 1, sentinel, Rfg)
+        Lt = _table_fixpoint(Lt0, St, Et, mkH, pack, 1, sentinel, Rfg)
         l_ref[0] = jnp.transpose(Lt)
+
+        # roots + per-band slot incidence (everything still in VMEM)
+        is_root = valid_t & (Lt == lin0_t)
+        root_lin = jnp.where(is_root, lin0_t, sentinel)
+        n_blobs = jnp.sum(is_root.astype(jnp.int32))
+        Lv = jnp.where(valid_t, Lt, sentinel)
+        # band membership of each table lane (= global row)
+        bandof = rowt // band                          # [Rfg, Hp]
+        laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        ik = jax.lax.broadcasted_iota(jnp.int32, (Rb, K), 1)
+
+        def slot(k, carry):
+            rl, pres, prev = carry
+            nxt = jnp.min(jnp.where(root_lin > prev, root_lin, sentinel))
+            rl = rl + jnp.where(laneK == k, nxt - sentinel, 0)
+            eq = (Lv == nxt) & (nxt < sentinel)        # [Rfg, Hp]
+            # per-band any: one masked count per band via a fori over
+            # Rb would be Rb reductions; instead reduce bandof masked to
+            # present bands:  a row is present in band b iff any eq lane
+            # has bandof == b — accumulate counts with a one-hot compare
+            col = jnp.zeros((Rb, 1), jnp.int32)
+            ib = jax.lax.broadcasted_iota(jnp.int32, (Rb, 1), 0)
+            for b in range(Rb):
+                cnt = jnp.sum(jnp.where(eq & (bandof == b), 1, 0))
+                col = col + jnp.where(ib == b, cnt.reshape(1, 1), 0)
+            pres = pres + jnp.where(ik == k,
+                                    jnp.where(col > 0, 1, 0), 0)
+            return rl, pres, nxt
+
+        rl0 = jnp.full((1, K), sentinel, jnp.int32)
+        pres0 = jnp.zeros((Rb, K), jnp.int32)
+        rl, pres, _ = jax.lax.fori_loop(
+            0, jnp.minimum(n_blobs, K), slot, (rl0, pres0, jnp.int32(-1)))
+        rl_ref[0] = rl
+        nb_ref[0] = jnp.full((1, 1), n_blobs, jnp.int32)
+        pres_ref[0] = pres
 
     return kernel
 
@@ -268,15 +311,21 @@ def fill_label_runtable_tiled(binary, band: int, frame_h: int,
     def table_label(_):
         lspec = _vmem((1, Hp, r_fg), lambda b: (b, 0, 0))
         lab_fix = pl.pallas_call(
-            _make_label_fix_kernel(Hp, W, r_fg, sentinel),
+            _make_label_fix_kernel(Hp, W, r_fg, sentinel, band, K),
             grid=(B,),
             in_specs=[lspec, lspec],
-            out_specs=[lspec],
-            out_shape=[jax.ShapeDtypeStruct((B, Hp, r_fg), jnp.int32)],
+            out_specs=[lspec,
+                       _vmem((1, 1, K), lambda b: (b, 0, 0)),
+                       _vmem((1, 1, 1), lambda b: (b, 0, 0)),
+                       _vmem((1, Rb, K), lambda b: (b, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((B, Hp, r_fg), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((B, Rb, K), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret)
-        L, = lab_fix(S_fg, E_fg)
+        L, rl, nb, pres = lab_fix(S_fg, E_fg)
         wb_call = pl.pallas_call(
             _make_writeback_kernel(band, W, r_fg, sentinel),
             grid=(B, Rb),
@@ -289,35 +338,11 @@ def fill_label_runtable_tiled(binary, band: int, frame_h: int,
             interpret=interpret)
         labels, = wb_call(filled_u8, runid_fg, L)
 
-        # roots / slot incidence from the TABLES (13k elements/frame)
-        valid = S_fg < _BIGC
-        row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None]
-        lin0 = row * W + S_fg
-        is_root = valid & (L == lin0)
-        n_blobs = jnp.sum(is_root, axis=(1, 2)).astype(jnp.int32)
-        flat = jnp.where(is_root, L, sentinel).reshape(B, -1)
-
-        def kth(k, carry):
-            rl, prev = carry
-            nxt = jnp.min(jnp.where(flat > prev[:, None], flat, sentinel),
-                          axis=1)
-            rl = rl.at[:, k].set(nxt)
-            return rl, nxt
-
-        rl, _ = jax.lax.fori_loop(
-            0, K, kth, (jnp.full((B, K), sentinel, jnp.int32),
-                        jnp.full((B,), -1, jnp.int32)))
-
-        present = jnp.any(
-            (jnp.where(valid, L, sentinel)[:, :, :, None]
-             == rl[:, None, None, :])
-            & (rl[:, None, None, :] < sentinel),
-            axis=2)                                  # [B, Hp, K]
-        present = present.reshape(B, Rb, band, K).any(axis=2)
+        present = pres > 0
         slot_count = present.sum(axis=-1).astype(jnp.int32)
         slot_list = jnp.argsort(~present, axis=-1,
                                 stable=True).astype(jnp.int32)
-        return labels, rl, n_blobs, slot_list, slot_count
+        return labels, rl[:, 0], nb[:, 0, 0], slot_list, slot_count
 
     def fallback_label(_):
         from heimdall_tpu.ops.ccl_tiled import connected_components_tiled
