@@ -513,29 +513,45 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
 # lax.cond falls back to the plane sweeps when any row exceeds Rmax.
 # ---------------------------------------------------------------------------
 
-def _run_extract(sel, Rmax):
+def _run_extract(sel, Rmax, packed=False):
     """Per-row run tables for ``sel`` (0/1 int32 [H, W], runs along
     lanes).  Returns (runid 1-based [H, W], nrun [H, 1], S [H, R],
     E [H, R], valid [H, R]) — start/end cols, inclusive.
 
     Monotone-count extraction: runid counts run starts <= c, so
     S_j = #(runid < j) and len_j = #(sel & runid <= j) - #(sel &
-    runid < j) — two compares and two lane-reductions per slot, no
-    sorting or compaction.  (An S + 4096*G bit-packed single-reduction
-    variant measured SLOWER on v5e at 640x480 — full detect 105.9 ->
-    113.4 us/frame — and ~neutral at 2 MP; reverted.)"""
+    runid < j).  Two forms, both exact, chosen per call site by
+    MEASUREMENT (v5e): the plain form (two compares + two
+    lane-reductions per slot) wins at 640x480 (full detect 105.5 vs
+    113.4 us/frame), the ``packed`` form — ONE reduction per slot of
+    (runid < j) * (1 + (sel << 12)), decoding S + 4096*G exactly since
+    S <= W < 4096 — wins at 2 MP (table path 823.8 vs 842.9 us/frame,
+    reductions dominate at W = 1920)."""
     H, W = sel.shape
     start = sel & (1 - _shift_const(sel, 1, 1, 0))
     runid = _lane_cumsum_mxu(start)
     nrun = jax.lax.slice_in_dim(runid, W - 1, W, axis=1)
-    Scols, Gcols = [], []
-    for j in range(1, Rmax + 1):
-        cj = (runid < j).astype(jnp.int32)
-        Scols.append(jnp.sum(cj, axis=1, keepdims=True))
-        Gcols.append(jnp.sum(sel * cj, axis=1, keepdims=True))
-    Gcols.append(jnp.sum(sel, axis=1, keepdims=True))
-    S = jnp.concatenate(Scols, axis=1)                     # [H, R]
-    G = jnp.concatenate(Gcols, axis=1)                     # [H, R+1]
+    if packed:
+        assert W < 4096, W             # S/G bit-packing precondition
+        wsel = 1 + (sel << 12)
+        SGcols = []
+        for j in range(1, Rmax + 1):
+            t = jnp.where(runid < j, wsel, 0)
+            SGcols.append(jnp.sum(t, axis=1, keepdims=True))
+        # final entry: only its G part (total sel count) is consumed
+        SGcols.append(jnp.sum(sel, axis=1, keepdims=True) << 12)
+        SG = jnp.concatenate(SGcols, axis=1)               # [H, R+1]
+        S = jax.lax.slice_in_dim(SG, 0, Rmax, axis=1) & 4095
+        G = SG >> 12                                       # [H, R+1]
+    else:
+        Scols, Gcols = [], []
+        for j in range(1, Rmax + 1):
+            cj = (runid < j).astype(jnp.int32)
+            Scols.append(jnp.sum(cj, axis=1, keepdims=True))
+            Gcols.append(jnp.sum(sel * cj, axis=1, keepdims=True))
+        Gcols.append(jnp.sum(sel, axis=1, keepdims=True))
+        S = jnp.concatenate(Scols, axis=1)                 # [H, R]
+        G = jnp.concatenate(Gcols, axis=1)                 # [H, R+1]
     LEN = (jax.lax.slice_in_dim(G, 1, Rmax + 1, axis=1)
            - jax.lax.slice_in_dim(G, 0, Rmax, axis=1))
     E = S + LEN - 1

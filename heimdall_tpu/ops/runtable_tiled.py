@@ -68,7 +68,8 @@ def _make_extract_kernel(Th, W, Rmax, invert):
         v = bin_ref[0].astype(jnp.int32)
         sel = (v == 0).astype(jnp.int32) if invert else (
             v != 0).astype(jnp.int32)
-        runid, nrun, S, E, valid = _run_extract(sel, Rmax)
+        runid, nrun, S, E, valid = _run_extract(sel, Rmax,
+                                                packed=True)
         runid_ref[0] = runid.astype(jnp.uint8)
         s_ref[0] = jnp.where(valid, S, _BIGC)
         e_ref[0] = jnp.where(valid, E, -_BIGC)
@@ -90,7 +91,8 @@ def _make_fill_extract_kernel(Th, W, Rbg, Rfg):
         F = f_ref[0]                                   # [Th, Rbg]
         flag = _table_lookup_monotone(F, runid_bg, Rbg, W)
         filled = fg | ((1 - fg) & flag)                # unreached bg = 1
-        runid, nrun, S, E, valid = _run_extract(filled, Rfg)
+        runid, nrun, S, E, valid = _run_extract(filled, Rfg,
+                                                packed=True)
         fill_ref[0] = filled.astype(jnp.uint8)
         runid2_ref[0] = runid.astype(jnp.uint8)
         s_ref[0] = jnp.where(valid, S, _BIGC)

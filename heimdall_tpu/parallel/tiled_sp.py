@@ -53,15 +53,22 @@ from heimdall_tpu.parallel.inspect_step import (sp_contamination_preprocess,
 
 
 def pick_band(h_local: int, request: int = 128) -> int:
-    """Largest divisor of the local shard height <= the requested band.
+    """Band size for an Hl-row shard: the largest divisor of Hl <= the
+    request that Mosaic can BLOCK on — band % 8 == 0 (the TPU lowering
+    requires block sublane dims divisible by 8) or band == Hl (a block
+    equal to the array dimension is always legal).
 
-    The sharded tiled path requires Hl % band == 0 (pad rows mid-frame
-    would corrupt the flood and the labels); e.g. 1080 over 4 chips gives
-    Hl = 270 -> band 90 for the default 128 request."""
+    The r5 1-device hardware check caught the old form: 1080 over 4
+    chips gives Hl = 270, whose only divisors <= 128 are 8-unaligned
+    (90, 54, ...) — Mosaic REJECTED the (1, 90, W) BlockSpec that every
+    CPU interpret run had happily executed.  270 = 2 * 3^3 * 5 has no
+    8-aligned divisor at all, so such shards run as one full-height
+    band (R = 1), which the flood/CCL kernels handle exactly (their
+    cross-band machinery just sees nothing to exchange locally)."""
     for b in range(min(request, h_local), 0, -1):
-        if h_local % b == 0:
+        if h_local % b == 0 and b % 8 == 0:
             return b
-    return 1
+    return h_local
 
 
 def _ppermute_fwd(x, axis_name, n):

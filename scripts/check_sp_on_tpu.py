@@ -8,8 +8,10 @@ shapes (e.g. band 90) that Mosaic had never lowered on hardware.  A
 still lowers and runs the exact sp kernel code on the chip:
 
   * band request 128 -> pick_band gives 120 (the 1-chip layout),
-  * band request 90  -> 90 x 12 bands — the same band-90 kernel shape a
-    4-chip mesh uses for its Hl = 270 shards.
+  * band request 90  -> 72 x 15 bands (pick_band now refuses 8-unaligned
+    bands: the first run of this check caught Mosaic REJECTING the old
+    (1, 90, W) BlockSpec that CPU interpret runs had always accepted —
+    4-chip Hl = 270 shards now run as one full-height 270-row band).
 
 Asserts the sp results equal the single-chip tiled detector output at the
 2 MP ship shape.  Run standalone; cache entries it writes should be
@@ -76,6 +78,23 @@ def main():
               flush=True)
         if not ok:
             sys.exit(1)
+
+    # the exact per-shard shape a 4-chip spatial mesh produces for 1080
+    # rows: Hl = 270 -> ONE full-height 270-row band (270 = 2*3^3*5 has
+    # no 8-aligned divisor; Mosaic only accepts the band == Hl block).
+    # Lower + run the banded flood/CCL kernels at that shape on the chip.
+    from heimdall_tpu.ops import ccl_tiled
+    Hs = 270
+    mask_s = (np.asarray(frames[:, :Hs, :, 0]) < 100)
+    t0 = time.perf_counter()
+    filled = ccl_tiled.fill_holes_tiled(jnp.asarray(mask_s), band=Hs)
+    lab, rl_s, nb_s = ccl_tiled.connected_components_tiled(
+        filled, connectivity=8, band=Hs, adaptive=True, return_roots=32)
+    np.asarray(lab[0, 0, 0])
+    print(f"shard-shape kernels (band {Hs} == Hl, [2, {Hs}, 1920]) "
+          f"compiled+ran on {dev.platform} in "
+          f"{time.perf_counter() - t0:.1f}s; blobs {np.asarray(nb_s)}",
+          flush=True)
     print("SP-ON-TPU: ALL OK", flush=True)
 
 

@@ -132,10 +132,14 @@ def test_full_step_matches_single_chip(data, spatial):
 
 
 def test_pick_band():
-    assert pick_band(270, 128) == 90
-    assert pick_band(540, 128) == 108
+    # bands must be Mosaic-blockable: % 8 == 0, or the full shard height
+    # (the r5 hardware check caught band 90 failing to lower on TPU)
+    assert pick_band(270, 128) == 270     # no 8-aligned divisor <= 128
+    assert pick_band(540, 128) == 540     # 540 = 4*135: 8 never divides
     assert pick_band(128, 128) == 128
-    assert pick_band(7, 128) == 7
+    assert pick_band(1080, 128) == 120
+    assert pick_band(512, 128) == 128
+    assert pick_band(7, 128) == 7         # == Hl: full-height band
 
 
 @needs_8
