@@ -39,7 +39,7 @@ from heimdall_tpu.utils import contours as contours_mod
 @partial(jax.jit, static_argnames=("max_blobs", "use_color", "formula",
                                    "return_labels", "ccl_sweeps",
                                    "tiled_band", "channel_major",
-                                   "tiled_runtable"))
+                                   "tiled_runtable", "rt_bg", "rt_fg"))
 def contamination_program(images: jnp.ndarray,
                           contrast_threshold: jnp.ndarray,
                           min_size: jnp.ndarray,
@@ -52,7 +52,8 @@ def contamination_program(images: jnp.ndarray,
                           ccl_sweeps: int = 0,
                           tiled_band: int = 0,
                           channel_major: bool = False,
-                          tiled_runtable: bool = True):
+                          tiled_runtable: bool = True,
+                          rt_bg: int = 12, rt_fg: int = 10):
     """The full batched contamination-detection device program.
 
     Args:
@@ -160,7 +161,7 @@ def contamination_program(images: jnp.ndarray,
             (mask, labels, root_table, root_count, slot_list,
              slot_count) = fill_label_runtable_tiled(
                 binary, band=band, frame_h=H, max_blobs=max_blobs,
-                interpret=interp)
+                r_bg=rt_bg, r_fg=rt_fg, interpret=interp)
         else:
             if color is not None:
                 mask = ccl_tiled.fill_holes_tiled(
