@@ -273,11 +273,13 @@ class ContaminationDetector(DefectDetector):
         # Run-table propagation (r5): hole filling and CCL iterate over
         # per-row RUN tables ([Rmax, H], thousands of elements) instead
         # of pixel planes when every row fits Rmax runs (per-frame
-        # certified fallback to the plane sweeps otherwise) — measured
-        # pre+fill+ccl 124.6 -> 93.5 us/frame on v5e
-        # (scripts/profile_ccl_variants.py).  0 disables.
-        self.rt_ccl = self.config.get("rt_ccl", 8)
-        self.rt_fill = self.config.get("rt_fill", 12)
+        # certified fallback to the plane sweeps otherwise).  v5e full
+        # detect @256 by (rt_ccl, rt_fill): (8,12) 105.5 / (6,12) 97.5 /
+        # (8,10) 99.0 / (6,10) 96.1 / (5,10) 95.2 us/frame — ship (6,10):
+        # 6 covers the densest plausible bench row (box edges + disc + 3
+        # contaminants) where 5 would lean on the fallback.  0 disables.
+        self.rt_ccl = self.config.get("rt_ccl", 6)
+        self.rt_fill = self.config.get("rt_fill", 10)
         # Compute backend: "xla" composes the ops library (fast compiles,
         # runs anywhere); "pallas" uses the fused VMEM-resident kernels
         # (ops/pallas_kernels.py — ~4x faster steady-state on a v5e but

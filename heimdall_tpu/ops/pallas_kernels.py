@@ -513,6 +513,19 @@ def _fill_holes_sweeps(fg, border, sweeps, adaptive=False):
 # lax.cond falls back to the plane sweeps when any row exceeds Rmax.
 # ---------------------------------------------------------------------------
 
+def _mxu_rowsum(cols):
+    """Lane-reduce a list of 0/1 int32 [H, W] planes via ONE MXU matmul:
+    stack as bf16 [H, W] x ones... each plane contracts with a ones
+    vector — exact (0/1 in bf16, f32 accumulation of <= W ones < 2^24)
+    and rides otherwise-idle MXU cycles instead of VPU reduce trees."""
+    H, W = cols[0].shape
+    ones = jnp.ones((W, 1), jnp.bfloat16)
+    return [jax.lax.dot_general(c.astype(jnp.bfloat16), ones,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.int32) for c in cols]
+
+
 def _run_extract(sel, Rmax, packed=False):
     """Per-row run tables for ``sel`` (0/1 int32 [H, W], runs along
     lanes).  Returns (runid 1-based [H, W], nrun [H, 1], S [H, R],
@@ -520,18 +533,29 @@ def _run_extract(sel, Rmax, packed=False):
 
     Monotone-count extraction: runid counts run starts <= c, so
     S_j = #(runid < j) and len_j = #(sel & runid <= j) - #(sel &
-    runid < j).  Two forms, both exact, chosen per call site by
+    runid < j).  Three forms, all exact, chosen per call site by
     MEASUREMENT (v5e): the plain form (two compares + two
     lane-reductions per slot) wins at 640x480 (full detect 105.5 vs
     113.4 us/frame), the ``packed`` form — ONE reduction per slot of
     (runid < j) * (1 + (sel << 12)), decoding S + 4096*G exactly since
     S <= W < 4096 — wins at 2 MP (table path 823.8 vs 842.9 us/frame,
-    reductions dominate at W = 1920)."""
+    reductions dominate at W = 1920); ``packed="mxu"`` moves the
+    reductions to MXU matvecs (exact: 0/1 bf16 x ones, f32 accum)."""
     H, W = sel.shape
     start = sel & (1 - _shift_const(sel, 1, 1, 0))
     runid = _lane_cumsum_mxu(start)
     nrun = jax.lax.slice_in_dim(runid, W - 1, W, axis=1)
-    if packed:
+    if packed == "mxu":
+        Scols, Gcols = [], []
+        for j in range(1, Rmax + 1):
+            cj = (runid < j).astype(jnp.int32)
+            Scols.append(cj)
+            Gcols.append(sel * cj)
+        Gcols.append(sel)
+        red = _mxu_rowsum(Scols + Gcols)
+        S = jnp.concatenate(red[:Rmax], axis=1)            # [H, R]
+        G = jnp.concatenate(red[Rmax:], axis=1)            # [H, R+1]
+    elif packed:
         assert W < 4096, W             # S/G bit-packing precondition
         wsel = 1 + (sel << 12)
         SGcols = []

@@ -56,7 +56,7 @@ def _vmem(shape, index_map):
 # banded kernels
 # ---------------------------------------------------------------------------
 
-def _make_extract_kernel(Th, W, Rmax, invert):
+def _make_extract_kernel(Th, W, Rmax, invert, mode=True):
     """binary band -> (runid u8, S/E i32 tables, nrun i32).
 
     S/E are already invalid-encoded (+-_BIGC) so the fixpoint kernels
@@ -68,8 +68,7 @@ def _make_extract_kernel(Th, W, Rmax, invert):
         v = bin_ref[0].astype(jnp.int32)
         sel = (v == 0).astype(jnp.int32) if invert else (
             v != 0).astype(jnp.int32)
-        runid, nrun, S, E, valid = _run_extract(sel, Rmax,
-                                                packed=True)
+        runid, nrun, S, E, valid = _run_extract(sel, Rmax, packed=mode)
         runid_ref[0] = runid.astype(jnp.uint8)
         s_ref[0] = jnp.where(valid, S, _BIGC)
         e_ref[0] = jnp.where(valid, E, -_BIGC)
@@ -78,7 +77,7 @@ def _make_extract_kernel(Th, W, Rmax, invert):
     return kernel
 
 
-def _make_fill_extract_kernel(Th, W, Rbg, Rfg):
+def _make_fill_extract_kernel(Th, W, Rbg, Rfg, mode=True):
     """(binary, runid_bg, flood flags F) -> (filled u8, runid_fg u8,
     S/E fg tables, nrun_fg).  hole = bg pixel whose run's flag stayed 1
     (monotone-step lookup — runid is non-decreasing per row)."""
@@ -91,8 +90,7 @@ def _make_fill_extract_kernel(Th, W, Rbg, Rfg):
         F = f_ref[0]                                   # [Th, Rbg]
         flag = _table_lookup_monotone(F, runid_bg, Rbg, W)
         filled = fg | ((1 - fg) & flag)                # unreached bg = 1
-        runid, nrun, S, E, valid = _run_extract(filled, Rfg,
-                                                packed=True)
+        runid, nrun, S, E, valid = _run_extract(filled, Rfg, packed=mode)
         fill_ref[0] = filled.astype(jnp.uint8)
         runid2_ref[0] = runid.astype(jnp.uint8)
         s_ref[0] = jnp.where(valid, S, _BIGC)
@@ -222,10 +220,11 @@ def _make_label_fix_kernel(Hp, W, Rfg, sentinel, band, K):
 
 @functools.partial(jax.jit, static_argnames=("band", "frame_h",
                                              "max_blobs", "r_bg", "r_fg",
-                                             "interpret"))
+                                             "interpret", "extract_mode"))
 def fill_label_runtable_tiled(binary, band: int, frame_h: int,
                               max_blobs: int, r_bg: int = 12,
-                              r_fg: int = 10, interpret: bool = False):
+                              r_fg: int = 10, interpret: bool = False,
+                              extract_mode=True):
     """binary u8 [B, Hp, W] (padded, fg = nonzero), true height frame_h
     -> (filled bool, labels i32, root_table [B, K], n_blobs [B],
         slot_list [B, Rb, K], slot_count [B, Rb])
@@ -246,7 +245,8 @@ def fill_label_runtable_tiled(binary, band: int, frame_h: int,
         return _vmem((1,) + shape, lambda b, r: (b, r, 0))
 
     ext_call = pl.pallas_call(
-        _make_extract_kernel(band, W, r_bg, invert=True),
+        _make_extract_kernel(band, W, r_bg, invert=True,
+                             mode=extract_mode),
         grid=(B, Rb),
         in_specs=[bspec((band, W))],
         out_specs=[bspec((band, W)), bspec((band, r_bg)),
@@ -274,7 +274,8 @@ def fill_label_runtable_tiled(binary, band: int, frame_h: int,
             interpret=interpret)
         F, = flood_call(S_bg, E_bg)
         fe_call = pl.pallas_call(
-            _make_fill_extract_kernel(band, W, r_bg, r_fg),
+            _make_fill_extract_kernel(band, W, r_bg, r_fg,
+                                      mode=extract_mode),
             grid=(B, Rb),
             in_specs=[bspec((band, W)), bspec((band, W)),
                       bspec((band, r_bg))],
