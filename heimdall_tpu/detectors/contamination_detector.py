@@ -53,7 +53,7 @@ def contamination_program(images: jnp.ndarray,
                           tiled_band: int = 0,
                           channel_major: bool = False,
                           tiled_runtable: bool = True,
-                          rt_bg: int = 12, rt_fg: int = 10):
+                          rt_bg: int = 10, rt_fg: int = 8):
     """The full batched contamination-detection device program.
 
     Args:

@@ -540,7 +540,10 @@ def _run_extract(sel, Rmax, packed=False):
     (runid < j) * (1 + (sel << 12)), decoding S + 4096*G exactly since
     S <= W < 4096 — wins at 2 MP (table path 823.8 vs 842.9 us/frame,
     reductions dominate at W = 1920); ``packed="mxu"`` moves the
-    reductions to MXU matvecs (exact: 0/1 bf16 x ones, f32 accum)."""
+    reductions to MXU matvecs (exact: 0/1 bf16 x ones, f32 accum) —
+    measured SLOWER at 2 MP (913.0 vs 812.6 us/frame at rt(10,8): the
+    per-slot bf16 casts and many small matmuls cost more than the VPU
+    reduce trees; kept for the record)."""
     H, W = sel.shape
     start = sel & (1 - _shift_const(sel, 1, 1, 0))
     runid = _lane_cumsum_mxu(start)

@@ -81,10 +81,24 @@ def main():
                                     root_count=nb, slot_list=sl,
                                     slot_count=sc))
 
+    # the shipped r5 path: table-global fill+CCL on padded planes
+    from heimdall_tpu.ops.runtable_tiled import fill_label_runtable_tiled
+    H = x.shape[1]
+    binp, _grayp = contamination_preprocess_tiled(x, ct, band=band,
+                                                  padded_out=True)
+    force((binp,))
+    timeit("table-global fill+CCL+roots (ship)",
+           lambda b: fill_label_runtable_tiled(
+               b, band=band, frame_h=H, max_blobs=64, r_bg=10, r_fg=8),
+           binp)
+
     args = (ct, jnp.float32(3.0), jnp.float32(3000.0), jnp.float32(0.25))
-    timeit("FULL fused program",
+    timeit("FULL program (table-global, ship)",
            lambda x_: contamination_program(x_, *args, tiled_band=256)[2],
            x)
+    timeit("FULL program (banded fallback)",
+           lambda x_: contamination_program(x_, *args, tiled_band=256,
+                                            tiled_runtable=False)[2], x)
 
 
 if __name__ == "__main__":
