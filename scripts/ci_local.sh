@@ -32,7 +32,7 @@ if [[ "${1:-}" != "--quick" ]]; then
     # crash point.
     PALLAS_SUITES=(tests/test_pallas_kernels.py tests/test_ccl_tiled.py
                    tests/test_preprocess_tiled.py tests/test_banded_stats.py
-                   tests/test_tiled_sp.py)
+                   tests/test_tiled_sp.py tests/test_runtable_tiled.py)
     python -m pytest tests/ -q \
         --ignore=tests/test_sharding.py --ignore=tests/test_stats_tiled.py \
         "${PALLAS_SUITES[@]/#/--ignore=}"
