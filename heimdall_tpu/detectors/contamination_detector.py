@@ -177,6 +177,12 @@ def contamination_program(images: jnp.ndarray,
                     adaptive=True, interpret=interp,
                     return_roots=max_blobs, band_slots=True, frame_h=fh))
         from heimdall_tpu.ops.stats_tiled import blob_stats_tiled
+        # stats_band coarsening helped the cct incidence lists (r4:
+        # 0.476 -> 0.348 ms standalone) but LOSES against the table
+        # path's in-kernel per-band presence (v5e: 140.5 us/frame at
+        # the native 128 band vs 150.5 coarsened to 384) — coarsen only
+        # on the banded fallback path
+        sb = band if (color is not None and tiled_runtable) else 3 * band
         table = blob_stats_tiled(labels, mask, gray, color, band=band,
                                  max_blobs=max_blobs, use_color=use_color,
                                  root_table=root_table,
@@ -185,7 +191,7 @@ def contamination_program(images: jnp.ndarray,
                                  slot_count=slot_count, interpret=interp,
                                  frame_h=fh,
                                  channel_major=color is not None,
-                                 stats_band=3 * band)
+                                 stats_band=sb)
         if fh is not None and return_labels:
             labels = labels[:, :H]
     else:

@@ -30,13 +30,17 @@ if [[ "${1:-}" != "--quick" ]]; then
     # suite grew; the Pallas-kernel-heavy suites now get their own
     # process, bounding every process's compile count well below the
     # crash point.
+    # FOUR pytest processes: the r5 suite growth (test_runtable_tiled)
+    # re-crossed the ~300-compiled-programs XLA:CPU SIGSEGV threshold in
+    # the Pallas split — it gets its own process alongside tiled_sp
     PALLAS_SUITES=(tests/test_pallas_kernels.py tests/test_ccl_tiled.py
-                   tests/test_preprocess_tiled.py tests/test_banded_stats.py
-                   tests/test_tiled_sp.py tests/test_runtable_tiled.py)
+                   tests/test_preprocess_tiled.py tests/test_banded_stats.py)
+    PALLAS_SUITES2=(tests/test_tiled_sp.py tests/test_runtable_tiled.py)
     python -m pytest tests/ -q \
         --ignore=tests/test_sharding.py --ignore=tests/test_stats_tiled.py \
-        "${PALLAS_SUITES[@]/#/--ignore=}"
+        "${PALLAS_SUITES[@]/#/--ignore=}" "${PALLAS_SUITES2[@]/#/--ignore=}"
     python -m pytest "${PALLAS_SUITES[@]}" -q
+    python -m pytest "${PALLAS_SUITES2[@]}" -q
     python -m pytest tests/test_sharding.py tests/test_stats_tiled.py -q
 else
     python -m pytest tests/test_core.py tests/test_runtime.py -q
