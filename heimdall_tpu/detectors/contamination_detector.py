@@ -114,9 +114,21 @@ def contamination_program(images: jnp.ndarray,
         # The table-global path (tiled_runtable) derives its seeds from
         # the run tables instead, so it skips the emission.
         if tiled_runtable:
-            binary, gray = contamination_preprocess_tiled(
-                cm, contrast_threshold, band=band, interpret=interp,
-                channel_major=True, padded_out=True)
+            # the preprocess band is independent of the CCL band as long
+            # as both divide the shared padded height: 3*band//2 (192
+            # over the 128 layout) amortizes the 32-row stencil halo
+            # better (v5e: 226.0 vs 232.9 us/frame at 2 MP), and the
+            # kernel also emits the bg RUN TABLES (per-row extraction is
+            # banding-independent), removing the separate extraction
+            # kernel and its reload of binary
+            Hp_ = -(-H // band) * band
+            pre_band = (3 * band // 2
+                        if Hp_ % max(3 * band // 2, 1) == 0 else band)
+            binary, gray, runid_bg, S_bg, E_bg, nrun_bg = (
+                contamination_preprocess_tiled(
+                    cm, contrast_threshold, band=pre_band,
+                    interpret=interp, channel_major=True, padded_out=True,
+                    bg_tables=rt_bg))
             flood_seed = None
         else:
             binary, gray, ext0, edges0 = contamination_preprocess_tiled(
@@ -161,7 +173,8 @@ def contamination_program(images: jnp.ndarray,
             (mask, labels, root_table, root_count, slot_list,
              slot_count) = fill_label_runtable_tiled(
                 binary, band=band, frame_h=H, max_blobs=max_blobs,
-                r_bg=rt_bg, r_fg=rt_fg, interpret=interp)
+                r_bg=rt_bg, r_fg=rt_fg, interpret=interp,
+                pre_extracted=(runid_bg, S_bg, E_bg, nrun_bg))
         else:
             if color is not None:
                 mask = ccl_tiled.fill_holes_tiled(

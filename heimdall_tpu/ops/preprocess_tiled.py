@@ -79,7 +79,7 @@ def _minmax3_banded(x, is_min, oof):
               _shift_const(r, -1, 1, value))
 
 
-def _make_preprocess_kernel(band, W, H, R, flood_seed=False):
+def _make_preprocess_kernel(band, W, H, R, flood_seed=False, bg_tables=0):
     E = band + 2 * HALO
     taps5 = _q8_taps(gaussian_kernel_1d(5, 0.0))
     k11 = [float(t) for t in gaussian_kernel_1d(11, 0.0)]
@@ -164,18 +164,37 @@ def _make_preprocess_kernel(band, W, H, R, flood_seed=False):
                  jax.lax.slice_in_dim(ext0_i, band - 1, band, axis=0)],
                 axis=0).astype(jnp.uint8)
 
+        if bg_tables:
+            # r5 table-global path: extract the BACKGROUND run tables
+            # right here (binary is still the int plane in VMEM), so the
+            # separate extraction kernel — and its reload of binary —
+            # disappears.  Per-row extraction is banding-independent:
+            # the [Hp, R] tables work for any downstream band size.
+            from heimdall_tpu.ops.pallas_kernels import _run_extract
+            runid_ref, s_ref, e_ref, n_ref = seed_refs
+            BIGC = 1 << 20
+            sel = (body(binary) == 0).astype(jnp.int32)
+            # NB: names must not shadow the closure's E (= band + 2*HALO)
+            runid, nrun, Sb, Eb, valid = _run_extract(sel, bg_tables,
+                                                      packed=True)
+            runid_ref[0] = runid.astype(jnp.uint8)
+            s_ref[0] = jnp.where(valid, Sb, BIGC)
+            e_ref[0] = jnp.where(valid, Eb, -BIGC)
+            n_ref[0] = nrun
+
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("band", "interpret",
                                              "channel_major", "padded_out",
-                                             "flood_seed"))
+                                             "flood_seed", "bg_tables"))
 def contamination_preprocess_tiled(images, contrast_threshold,
                                    band: int = 256,
                                    interpret: bool = False,
                                    channel_major: bool = False,
                                    padded_out: bool = False,
-                                   flood_seed: bool = False):
+                                   flood_seed: bool = False,
+                                   bg_tables: int = 0):
     """[B, H, W, 3] uint8 BGR -> (binary u8 [B, H, W] in {0, 255},
     gray u8 [B, H, W]) — bit-identical to the XLA op composition
     gray -> gaussian_blur(5) -> adaptive_threshold(gaussian, inv, 11, C)
@@ -191,8 +210,15 @@ def contamination_preprocess_tiled(images, contrast_threshold,
     computed in-kernel, for fill_holes_tiled(seed=...) — the flood's XLA
     seeding prologue (bg/border/ext0 planes + strided edge slices, each
     a full 2 MP relayout) disappears.
+
+    ``bg_tables`` = Rbg > 0 (implies padded_out, excludes flood_seed):
+    additionally return the background RUN TABLES for the table-global
+    path (runid u8 [B, Hp, W], S/E i32 [B, Hp, Rbg] invalid-encoded,
+    nrun i32 [B, Hp, 1]) — fill_label_runtable_tiled(pre_extracted=...)
+    then skips its separate extraction kernel.
     """
-    assert not flood_seed or padded_out, "flood_seed implies padded_out"
+    assert not (flood_seed or bg_tables) or padded_out
+    assert not (flood_seed and bg_tables)
     if channel_major:
         B, _, H, W = images.shape
         cm = images
@@ -212,7 +238,8 @@ def contamination_preprocess_tiled(images, contrast_threshold,
         for r in range(R)], axis=2)                      # [B, 3, R, E, W]
 
     ct = jnp.asarray(contrast_threshold, jnp.int32).reshape(1)
-    kernel = _make_preprocess_kernel(band, W, H, R, flood_seed=flood_seed)
+    kernel = _make_preprocess_kernel(band, W, H, R, flood_seed=flood_seed,
+                                     bg_tables=bg_tables)
     out_specs = [pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
@@ -228,6 +255,22 @@ def contamination_preprocess_tiled(images, contrast_threshold,
                          memory_space=pltpu.VMEM)]
         out_shape += [jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
                       jax.ShapeDtypeStruct((B, R, 2, W), jnp.uint8)]
+    if bg_tables:
+        out_specs += [
+            pl.BlockSpec((1, band, W), lambda b, r, *_: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band, bg_tables),
+                         lambda b, r, *_: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band, bg_tables),
+                         lambda b, r, *_: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band, 1), lambda b, r, *_: (b, r, 0),
+                         memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                      jax.ShapeDtypeStruct((B, Hp, bg_tables), jnp.int32),
+                      jax.ShapeDtypeStruct((B, Hp, bg_tables), jnp.int32),
+                      jax.ShapeDtypeStruct((B, Hp, 1), jnp.int32)]
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, R),
@@ -244,8 +287,8 @@ def contamination_preprocess_tiled(images, contrast_threshold,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ct, tiles)
-    if flood_seed:
-        return out                       # (binary, gray, ext0, edges0)
+    if flood_seed or bg_tables:
+        return out       # (binary, gray, ext0, edges0 | runid, S, E, nrun)
     binary, gray = out
     if padded_out:
         return binary, gray

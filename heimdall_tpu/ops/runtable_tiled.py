@@ -224,7 +224,7 @@ def _make_label_fix_kernel(Hp, W, Rfg, sentinel, band, K):
 def fill_label_runtable_tiled(binary, band: int, frame_h: int,
                               max_blobs: int, r_bg: int = 12,
                               r_fg: int = 10, interpret: bool = False,
-                              extract_mode=True):
+                              extract_mode=True, pre_extracted=None):
     """binary u8 [B, Hp, W] (padded, fg = nonzero), true height frame_h
     -> (filled bool, labels i32, root_table [B, K], n_blobs [B],
         slot_list [B, Rb, K], slot_count [B, Rb])
@@ -244,21 +244,28 @@ def fill_label_runtable_tiled(binary, band: int, frame_h: int,
     def bspec(shape):
         return _vmem((1,) + shape, lambda b, r: (b, r, 0))
 
-    ext_call = pl.pallas_call(
-        _make_extract_kernel(band, W, r_bg, invert=True,
-                             mode=extract_mode),
-        grid=(B, Rb),
-        in_specs=[bspec((band, W))],
-        out_specs=[bspec((band, W)), bspec((band, r_bg)),
-                   bspec((band, r_bg)), bspec((band, 1))],
-        out_shape=[jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
-                   jax.ShapeDtypeStruct((B, Hp, r_bg), jnp.int32),
-                   jax.ShapeDtypeStruct((B, Hp, r_bg), jnp.int32),
-                   jax.ShapeDtypeStruct((B, Hp, 1), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret)
-    runid_bg, S_bg, E_bg, nrun_bg = ext_call(binary)
+    if pre_extracted is not None:
+        # bg tables already emitted by the preprocess kernel
+        # (contamination_preprocess_tiled(bg_tables=r_bg)) — binary was
+        # never reloaded for extraction
+        runid_bg, S_bg, E_bg, nrun_bg = pre_extracted
+        assert S_bg.shape == (B, Hp, r_bg), (S_bg.shape, r_bg)
+    else:
+        ext_call = pl.pallas_call(
+            _make_extract_kernel(band, W, r_bg, invert=True,
+                                 mode=extract_mode),
+            grid=(B, Rb),
+            in_specs=[bspec((band, W))],
+            out_specs=[bspec((band, W)), bspec((band, r_bg)),
+                       bspec((band, r_bg)), bspec((band, 1))],
+            out_shape=[jax.ShapeDtypeStruct((B, Hp, W), jnp.uint8),
+                       jax.ShapeDtypeStruct((B, Hp, r_bg), jnp.int32),
+                       jax.ShapeDtypeStruct((B, Hp, r_bg), jnp.int32),
+                       jax.ShapeDtypeStruct((B, Hp, 1), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret)
+        runid_bg, S_bg, E_bg, nrun_bg = ext_call(binary)
     fits_bg = jnp.max(nrun_bg) <= r_bg
 
     def table_fill(_):
