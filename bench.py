@@ -537,12 +537,13 @@ def main():
         # deadline-shaped mode (VERDICT r4 #3): 1 bottle set per batch,
         # synchronous verdict — the per-bottle <10 ms gate
         with contextlib.redirect_stdout(sys.stderr):
-            lat = latency_main(8.0, return_detail=True)
+            lat = latency_main(15.0, return_detail=True)
         log(f"config#5 latency mode: {lat['bottles']} bottles at 1 set/"
             f"batch; net-of-floor per-bottle p50 {lat['net_p50_ms']:.2f} "
-            f"ms, p99 {lat['net_p99_ms']:.2f} ms "
+            f"ms, p95 {lat['net_p95_ms']:.2f} ms, "
+            f"p99 {lat['net_p99_ms']:.2f} ms "
             f"({'PASS' if lat['net_p99_ms'] < 10 else 'above'} the 10 ms "
-            f"deadline; floor {lat['floor_ms']:.1f} ms, raw p99 "
+            f"deadline at p99; floor {lat['floor_ms']:.1f} ms, raw p99 "
             f"{lat['p99_ms']:.2f} ms through the tunnel)")
 
     phase("config #5 done")

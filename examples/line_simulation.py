@@ -269,10 +269,14 @@ def latency_main(duration_s: float = 3.0, width: int = 640,
             acq_ms.append((t_acq - t0) * 1000)
             if flags.any():
                 rejects += 1
-            # interleaved floor probe: same buffer, no-op program
-            t0 = time.time()
-            np.asarray(noop(jax.device_put(buf))[0])
-            floor_ms_samples.append((time.time() - t0) * 1000)
+            # TWO interleaved floor probes per bottle (same buffer,
+            # no-op program): the floor tail quantiles need more samples
+            # than the detect side or the quantile-matched p99 is a
+            # noisy difference of two noisy tails
+            for _ in range(2):
+                t0 = time.time()
+                np.asarray(noop(jax.device_put(buf))[0])
+                floor_ms_samples.append((time.time() - t0) * 1000)
     finally:
         gc.enable()
     system.stop()
@@ -286,14 +290,15 @@ def latency_main(duration_s: float = 3.0, width: int = 640,
                    - float(np.percentile(floor, q)), 0.0)
 
     p99 = float(np.percentile(raw, 99))
-    net_p50, net_p99 = net_q(50), net_q(99)
+    net_p50, net_p95, net_p99 = net_q(50), net_q(95), net_q(99)
     print(f"\nlatency mode: {len(raw)} bottles, one 4-frame set per batch "
           f"(synchronous acquire -> submit -> fetch; {len(floor)} "
           f"interleaved no-op floor probes)")
     print(f"per-bottle latency net of the tunnel floor, quantile-matched "
           f"(PRIMARY, PCIe-host equivalent): p50 {net_p50:.2f} ms, "
-          f"p99 {net_p99:.2f} ms "
-          f"({'PASS' if net_p99 < 10 else 'above'} the 10 ms deadline)")
+          f"p95 {net_p95:.2f} ms, p99 {net_p99:.2f} ms "
+          f"({'PASS' if net_p99 < 10 else 'above'} the 10 ms deadline at "
+          f"p99)")
     print(f"raw through this link: p50 {float(np.percentile(raw, 50)):.2f} "
           f"ms, p99 {p99:.2f} ms; floor p50 {floor_p50:.2f} ms, p99 "
           f"{float(np.percentile(floor, 99)):.2f} ms; acquire+assembly "
@@ -303,6 +308,7 @@ def latency_main(duration_s: float = 3.0, width: int = 640,
     if return_detail:
         return {"bottles": len(raw), "floor_ms": floor_p50,
                 "p99_ms": p99, "net_p99_ms": net_p99,
+                "net_p95_ms": net_p95,
                 "net_p50_ms": net_p50, "rejects": rejects}
     return p99
 
