@@ -333,3 +333,40 @@ def test_pallas_runtable_bench_scene():
     for name, x, y in zip(("sums", "bbox", "bgsum", "n"), a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
+
+
+def test_pallas_runtable_fuzz_random_density():
+    """Randomized property check for the fused-kernel run-table path:
+    rt fill/CCL vs plane sweeps over masks from sparse to dense (some
+    draws exceed the table widths and exercise the per-frame fallback)."""
+    interpret = jax.default_backend() == "cpu"
+    from heimdall_tpu.ops.pallas_kernels import contamination_pallas
+
+    rng = np.random.RandomState(77)
+    H, W = 64, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    masks = []
+    for _ in range(6):
+        m = np.zeros((H, W), np.uint8)
+        for _ in range(rng.randint(1, 10)):
+            kind = rng.randint(3)
+            y, x = rng.randint(0, H), rng.randint(0, W)
+            if kind == 0:
+                r = rng.randint(1, 9)
+                m |= ((yy - y) ** 2 + (xx - x) ** 2 <= r * r)
+            elif kind == 1:
+                r = rng.randint(4, 11)
+                d2 = (yy - y) ** 2 + (xx - x) ** 2
+                m |= ((d2 >= (r - 2) ** 2) & (d2 <= r * r))
+            else:
+                m[max(0, y - rng.randint(1, 16)):y + rng.randint(1, 16),
+                  max(0, x - rng.randint(1, 24)):x + rng.randint(1, 24)] = 1
+        masks.append(m)
+    frames = _mask_frames(masks)
+    kw = dict(max_blobs=32, sweeps=2, adaptive=True, scan_steps=5,
+              interpret=interpret)
+    a = contamination_pallas(frames, 15, **kw)
+    b = contamination_pallas(frames, 15, rt_ccl=6, rt_fill=10, **kw)
+    for name, x, y in zip(("sums", "bbox", "bgsum", "n"), a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)

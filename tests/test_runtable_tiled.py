@@ -122,3 +122,33 @@ def test_runtable_tiled_full_program_parity():
                 np.asarray(getattr(ta[0], f)), np.asarray(getattr(tb[0], f)),
                 err_msg=f)
         np.testing.assert_array_equal(np.asarray(ta[2]), np.asarray(tb[2]))
+
+
+def test_runtable_tiled_fuzz_random_density():
+    """Randomized property check: table-global vs banded composition on
+    masks sweeping density from sparse specks to near-overflow run
+    counts (some draws trip the fallback guards — both paths must agree
+    everywhere)."""
+    rng = np.random.RandomState(123)
+    H, W, band = 64, 96, 16
+    yy, xx = np.mgrid[0:H, 0:W]
+    masks = []
+    for trial in range(10):
+        m = np.zeros((H, W), np.uint8)
+        n_obj = rng.randint(1, 12)
+        for _ in range(n_obj):
+            kind = rng.randint(3)
+            y, x = rng.randint(0, H), rng.randint(0, W)
+            if kind == 0:          # disc
+                r = rng.randint(1, 10)
+                m |= ((yy - y) ** 2 + (xx - x) ** 2 <= r * r)
+            elif kind == 1:        # ring (hole maker)
+                r = rng.randint(4, 12)
+                d2 = (yy - y) ** 2 + (xx - x) ** 2
+                m |= ((d2 >= (r - 2) ** 2) & (d2 <= r * r))
+            else:                  # bar
+                h2, w2 = rng.randint(1, 20), rng.randint(1, 30)
+                m[max(0, y - h2):y + h2, max(0, x - w2):x + w2] = 1
+        masks.append(m)
+    for i in range(0, len(masks), 2):
+        _check(np.stack(masks[i:i + 2]), band=band, r_bg=8, r_fg=7)
