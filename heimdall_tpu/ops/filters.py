@@ -6,13 +6,13 @@ heimdall/detectors/contamination_detector.py:66) and cv2.Canny for the
 basic/sidewall pipelines (pipeline.py:246-259).
 
 OpenCV's uint8 Gaussian path was reverse-engineered and verified bit-exact
-(tests/test_ops_parity.py): the float64 kernel is quantized to Q8 fixed point
-with the centre tap corrected so the taps sum to exactly 256, the separable
-convolution accumulates in int32, and the final descale is
-``(acc + 2**15) >> 16``.  This is exact versus cv2.GaussianBlur for the
-default-sigma kernels with ksize <= 11 — which covers every kernel the
-reference uses (3, 5, and the adaptive-threshold block size 11).  Larger
-kernels use the same path and stay within +-1 LSB of OpenCV.
+(tests/test_ops_parity.py): the float64 kernel is quantized to Q8 fixed
+point by cumulative (error-diffusion) rounding — see _q8_taps_bitexact —
+the separable convolution accumulates in int32, and the final descale is
+``(acc + 2**15) >> 16``.  Exact versus cv2.GaussianBlur for EVERY ksize
+and sigma (default-sigma and explicit, probed through ksize 59); the
+reference only ever uses 3, 5, and the adaptive-threshold block size 11,
+so the large sizes are completeness beyond the reference's needs.
 
 All ops take [..., H, W] (or [..., H, W, C] — filtered per channel) arrays
 with any leading batch dims and are jit/vmap friendly.
@@ -105,25 +105,13 @@ def gaussian_blur(image: jnp.ndarray, ksize: int, sigma: float = 0.0,
     Float inputs are convolved in float32 with the float64-derived kernel.
     """
     kernel = gaussian_kernel_1d(ksize, sigma)
-
+    taps = _q8_taps_bitexact(kernel)
     def run(x):
-        if x.dtype == jnp.uint8 and ksize <= 11:
-            # OpenCV's fixed-point path — bit-exact for these sizes.
-            taps = _q8_taps(kernel)
+        if x.dtype == jnp.uint8:
+            # cv2's Q8 fixed-point path — bit-exact for EVERY ksize and
+            # sigma (taps quantized host-side at the top of the function).
             acc = _sep_conv_i32(x.astype(jnp.int32), taps, taps, border)
             return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)
-        if x.dtype == jnp.uint8:
-            # Large kernels: float path, within +-1 LSB of OpenCV.
-            kf = [float(t) for t in kernel]
-            xf = x.astype(jnp.float32)
-            rh = len(kf) // 2
-            H, W = x.shape[-2], x.shape[-1]
-            xp = _pad2d(xf, rh, rh, border)
-            tmp = sum(kf[i] * jax.lax.slice_in_dim(xp, i, i + W, axis=-1)
-                      for i in range(len(kf)))
-            out = sum(kf[i] * jax.lax.slice_in_dim(tmp, i, i + H, axis=-2)
-                      for i in range(len(kf)))
-            return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
         kf = [float(t) for t in kernel]
         xf = x.astype(jnp.float32)
         rh = len(kf) // 2
@@ -135,6 +123,18 @@ def gaussian_blur(image: jnp.ndarray, ksize: int, sigma: float = 0.0,
                    for i in range(len(kf))).astype(x.dtype)
 
     return _filter_channels(image, run)
+
+
+def _q8_taps_bitexact(kernel: np.ndarray) -> list:
+    """Quantize a normalized kernel to Q8 by cumulative rounding.
+
+    cv2 5.x quantizes computed Gaussian kernels by error diffusion:
+    tap i = rint(cumsum(k*256))[i] - rint(cumsum(k*256))[i-1]; the taps
+    sum to exactly 256 and need NOT be monotone (ksize 31 opens
+    [0,1,0,1,2,...]).  Recovered via impulse-column probes; supersedes
+    centre-tap-corrected _q8_taps (which was exact only <= 11).  """
+    cs = np.rint(np.cumsum(kernel * 256.0))
+    return [int(t) for t in np.diff(np.concatenate([[0.0], cs]))]
 
 
 def gaussian_mean_u8(image: jnp.ndarray, ksize: int, sigma: float = 0.0,

@@ -83,11 +83,22 @@ class TestGaussianBlur:
         want = cv2.GaussianBlur(img, (5, 5), 0)
         np.testing.assert_array_equal(got, want)
 
-    def test_large_kernel_close(self, rng):
+    @pytest.mark.parametrize("ksize", [13, 15, 21, 25, 31, 51])
+    def test_large_kernel_bit_exact(self, rng, ksize):
+        # cv2's computed-kernel quantization is cumulative (error-diffusion)
+        # rounding of k*256 — recovered via impulse probes (r5); taps need
+        # not be monotone (ksize 31 opens [0,1,0,1,2,...]).
         img = _noise(rng, 128, 128)
-        got = np.asarray(ops.gaussian_blur(jnp.asarray(img), 15)).astype(int)
-        want = cv2.GaussianBlur(img, (15, 15), 0).astype(int)
-        assert np.abs(got - want).max() <= 1
+        got = np.asarray(ops.gaussian_blur(jnp.asarray(img), ksize))
+        want = cv2.GaussianBlur(img, (ksize, ksize), 0)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("ksize,sigma", [(5, 0.8), (11, 2.9), (21, 4.0)])
+    def test_explicit_sigma_bit_exact(self, rng, ksize, sigma):
+        img = _noise(rng, 128, 128)
+        got = np.asarray(ops.gaussian_blur(jnp.asarray(img), ksize, sigma))
+        want = cv2.GaussianBlur(img, (ksize, ksize), sigma)
+        np.testing.assert_array_equal(got, want)
 
 
 class TestBoxBlur:
