@@ -169,8 +169,8 @@ def box_blur(image: jnp.ndarray, ksize: int, border: str = "reflect101",
             acc = _sep_conv_i32(x.astype(jnp.int32), ones, ones, border)
             if not normalize:
                 return acc
-            scaled = acc.astype(jnp.float32) * (1.0 / (ksize * ksize))
-            return jnp.clip(jnp.rint(scaled), 0, 255).astype(jnp.uint8)
+            n2 = ksize * ksize  # odd => no .5 ties; half-up == f64 cvRound
+            return jnp.clip((acc + n2 // 2) // n2, 0, 255).astype(jnp.uint8)
         xf = x.astype(jnp.float32)
         acc = _sep_conv_i32(xf, ones, ones, border)
         return (acc / (ksize * ksize) if normalize else acc).astype(x.dtype)
@@ -183,8 +183,8 @@ def box_mean_u8(image: jnp.ndarray, ksize: int,
     """Local box mean as int32 in [0,255] (cv2 ADAPTIVE_THRESH_MEAN_C inner)."""
     ones = [1] * ksize
     acc = _sep_conv_i32(image.astype(jnp.int32), ones, ones, border)
-    mean = jnp.rint(acc.astype(jnp.float32) * (1.0 / (ksize * ksize)))
-    return jnp.clip(mean, 0, 255).astype(jnp.int32)
+    n2 = ksize * ksize  # odd => no .5 ties; half-up == f64 cvRound
+    return jnp.clip((acc + n2 // 2) // n2, 0, 255).astype(jnp.int32)
 
 
 def sobel(image: jnp.ndarray, dx: int, dy: int,

@@ -102,12 +102,15 @@ class TestGaussianBlur:
 
 
 class TestBoxBlur:
-    @pytest.mark.parametrize("ksize", [3, 5])
-    def test_close(self, rng, ksize):
+    @pytest.mark.parametrize("ksize", [3, 5, 7, 15])
+    def test_bit_exact(self, rng, ksize):
+        # odd n^2 means acc/n^2 has no exact .5 ties, so integer half-up
+        # rounding equals cv2's f64 cvRound; verified exhaustively over
+        # every achievable 3x3 window sum (scripts-level probe, r5).
         img = _noise(rng, 128, 128)
-        got = np.asarray(ops.box_blur(jnp.asarray(img), ksize)).astype(int)
-        want = cv2.blur(img, (ksize, ksize)).astype(int)
-        assert np.abs(got - want).max() <= 1
+        got = np.asarray(ops.box_blur(jnp.asarray(img), ksize))
+        want = cv2.blur(img, (ksize, ksize))
+        np.testing.assert_array_equal(got, want)
         assert (got != want).mean() < 0.01
 
 
